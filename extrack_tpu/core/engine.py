@@ -1,0 +1,251 @@
+"""Fixed-width sequence-register likelihood engine.
+
+The reference computes per-track likelihoods with a per-frame recursion whose
+working set of candidate state sequences *grows* (``cp.repeat``) and is then
+*pruned* by Python-loop greedy fusion (extrack/tracking.py:427-743).  Dynamic
+shapes and host loops are exactly wrong for XLA, so this engine uses the
+mathematically-equivalent fixed-point of that process:
+
+    a register of K = S**W state windows (W = ``frame_len`` in the reference),
+    updated by one fused branch(xS^n) -> Gaussian-update -> moment-match(/S^n)
+    step per frame inside a ``lax.scan``.
+
+This is identical to the reference's fixed-``frame_len`` path
+(``P_Cs_inter_bound_stats`` + ``fuse_tracks_general`` with the oldest states
+fused, extrack/tracking.py:109-318,361-423): sequences equal on the last W
+sub-steps are merged into a weighted single Gaussian.  Early steps, where the
+reference register is still small, are reproduced exactly by initializing the
+K slots as duplicated copies carrying a ``-r*log(S)`` offset so that each
+no-op fusion of a dummy axis restores the exact log-probability.
+
+Tracks of different lengths run in one padded batch: each track's final frame
+triggers its closing integral + bleaching term, after which its carry is
+frozen.  The scan is ``vmap``-free (explicitly batched) so XLA lays out the
+(B, K) register on VPU lanes; batches shard over a data mesh via
+``shard_map`` (see extrack_tpu.parallel).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import logsumexp
+
+from extrack_tpu.core.tables import (ModelTables, branch_log_trans,
+                                     init_log_prob, state_codes)
+
+_TINY = 1e-300
+
+
+class RegisterSpec(NamedTuple):
+    """Static index constants of the sequence register."""
+    S: int          # states
+    W: int          # window width in sub-steps (frame_len)
+    n: int          # sub-steps per frame
+    K: int          # S**W register slots
+    A: int          # S**n branch patterns
+    G: int          # K // A surviving group count
+    codes: np.ndarray       # (K, W) digits, newest first
+    prev0_g: np.ndarray     # (G,) newest state of parent group g
+    prev0_k: np.ndarray     # (K,) newest state of slot k
+    init_pat: np.ndarray    # (K,) index of top n+1 digits (init pattern)
+    dummy_digits: int       # W - n - 1
+
+
+def make_register_spec(nb_states: int, window: int, nb_substeps: int = 1
+                       ) -> RegisterSpec:
+    S, W, n = nb_states, window, nb_substeps
+    if W < n + 1:
+        raise ValueError(f"window ({W}) must be >= nb_substeps+1 ({n + 1})")
+    K = S ** W
+    A = S ** n
+    G = K // A
+    codes = state_codes(S, W)
+    prev0_k = codes[:, 0]
+    prev0_g = np.arange(G) // (S ** (W - n - 1))
+    init_pat = np.arange(K) // (S ** (W - n - 1))
+    return RegisterSpec(S, W, n, K, A, G, codes, prev0_g, prev0_k,
+                        init_pat, W - n - 1)
+
+
+def _gather_rows(table, idx):
+    """Gather along the last axis with a numpy index array, keeping leading
+    batch axes: table (..., P), idx (I,) -> (..., I) or (I,) when unbatched."""
+    return jnp.take(table, jnp.asarray(idx), axis=-1)
+
+
+def _moment_match(lp, values):
+    """Fuse the trailing axis of ``lp`` (log weights) by logsumexp while
+    moment-matching each array in ``values`` (weighted mean).
+
+    Reference: fuse_tracks_general, extrack/tracking.py:361-423.
+    """
+    mx = jnp.max(lp, axis=-1, keepdims=True)
+    safe_mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+    w = jnp.exp(lp - safe_mx)
+    sw = jnp.sum(w, axis=-1, keepdims=True)
+    wn = w / jnp.maximum(sw, _TINY)
+    lp_new = jnp.squeeze(safe_mx, -1) + jnp.log(jnp.maximum(sw[..., 0], _TINY)) \
+        + jnp.where(jnp.isfinite(mx[..., 0]), 0.0, -jnp.inf)
+    fused = [jnp.einsum('...o,...od->...d', wn, v) for v in values]
+    return lp_new, fused, wn
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window", "nb_substeps", "min_len", "return_preds",
+                     "remat"))
+def forward(positions,
+            lengths,
+            is_bleached,
+            tables: ModelTables,
+            *,
+            window: int = 6,
+            nb_substeps: int = 1,
+            min_len: int = 3,
+            return_preds: bool = False,
+            remat: bool = True):
+    """Per-track log likelihood (and optional per-frame state posteriors).
+
+    positions: (B, T, D) padded tracks; lengths: (B,) valid frame counts
+    (padded/empty tracks use length 0 and contribute exactly 0); is_bleached:
+    (B,) 1.0 where the track ended inside the observation window.
+
+    Returns ``logl (B,)`` or ``(logl, preds (B, T, S))`` with
+    ``return_preds=True`` (posteriors carried through fusions like the
+    reference's ``cur_Bs_cat``, extrack/tracking.py:479,543-544,645-649;
+    requires nb_substeps == 1 as in predict_Bs, extrack/tracking.py:839).
+    """
+    B, T, D = positions.shape
+    spec = make_register_spec(tables.nb_states, window, nb_substeps)
+    S, W, n, K, A, G = spec.S, spec.W, spec.n, spec.K, spec.A, spec.G
+    if return_preds and n != 1:
+        raise ValueError("posteriors require nb_substeps == 1")
+
+    dtype = positions.dtype
+    lengths = lengths.astype(jnp.int32)
+    is_bleached = is_bleached.astype(dtype)
+
+    l2 = jnp.broadcast_to(tables.loc_err2.astype(dtype), (B, T, D))
+    lt_ag = branch_log_trans(tables.log_trans, n)[:, spec.prev0_g]   # (A, G)
+    lsurv = tables.log_survive                                        # (A,)
+    end_k = _gather_rows(tables.end_ll, spec.prev0_k)                 # (K,)
+    lp0 = init_log_prob(tables.log_trans, tables.log_frac, n)         # (P,)
+
+    # displacement variance rows: (R, P) or (B, R, P); R in {1, T-1}
+    sig2 = tables.sig2.astype(dtype)
+    per_track_sig2 = sig2.ndim == 3
+    R = sig2.shape[-2]
+
+    def sig2_row(t_idx):
+        if R == 1:
+            return sig2[..., 0, :]
+        return jnp.take(sig2, jnp.minimum(t_idx, R - 1), axis=-2)
+
+    # ---- initial register (frame 0 injected) -----------------------------
+    sig2_init = _gather_rows(sig2_row(0), spec.init_pat)   # (K,) or (B, K)
+    m0 = jnp.broadcast_to(positions[:, 0, None, :], (B, K, D))
+    s2_0 = jnp.broadcast_to(
+        l2[:, 0, None, :] + jnp.reshape(sig2_init, (-1, K))[..., None],
+        (B, K, D))
+    lp_init = (_gather_rows(lp0, spec.init_pat)
+               - spec.dummy_digits * np.log(S)).astype(dtype)
+    lp_0 = jnp.broadcast_to(lp_init, (B, K))
+    logl_0 = jnp.zeros((B,), dtype)
+
+    Tpad = T + W
+    if return_preds:
+        cat_0 = jnp.zeros((B, K, Tpad, S), dtype)
+        preds_0 = jnp.zeros((B, T, S), dtype)
+        onehot = jnp.asarray(
+            (spec.codes[:, ::-1, None] == np.arange(S)).astype(dtype))
+    else:
+        cat_0 = preds_0 = onehot = None
+
+    def step(carry, xs):
+        m, s2, lp, logl, cat, preds = carry
+        t, x_t, l2_t, s2row = xs
+        is_final = (t == lengths - 1)
+        is_interior = (t < lengths - 1)
+
+        # -- closing contribution for tracks ending at this frame ----------
+        tot_f = l2_t[:, None, :] + s2
+        fin = lp + is_bleached[:, None] * end_k + jnp.sum(
+            -0.5 * jnp.log(2 * jnp.pi * tot_f)
+            - (x_t[:, None, :] - m) ** 2 / (2 * tot_f), axis=-1)
+        logl_t = logsumexp(fin, axis=-1)
+        logl = logl + jnp.where(is_final, logl_t, 0.0)
+
+        # -- branch + Gaussian update (a-independent parts once per parent) -
+        tot = l2_t[:, None, :] + s2                                 # (B,K,D)
+        new_m = (m * l2_t[:, None, :] + x_t[:, None, :] * s2) / tot
+        tail = l2_t[:, None, :] * s2 / tot                          # (B,K,D)
+        lc = jnp.sum(-0.5 * jnp.log(2 * jnp.pi * tot)
+                     - (x_t[:, None, :] - m) ** 2 / (2 * tot), axis=-1)
+
+        gate = (t + 1 >= min_len).astype(dtype)
+        base = (lp + lc).reshape(B, G, A)                           # o last
+        lp_child = (base[:, None] + lt_ag[None, :, :, None]
+                    + gate * lsurv[None, :, None, None])            # (B,A,G,A)
+
+        lp_new, (m_f, tail_f), wn = _moment_match(
+            lp_child,
+            [new_m.reshape(B, 1, G, A, D), tail.reshape(B, 1, G, A, D)])
+        sig2_ag = _gather_rows(s2row, (np.arange(A)[:, None] * S
+                                       + spec.prev0_g[None, :]).reshape(-1))
+        sig2_ag = jnp.reshape(sig2_ag, (-1, A, G))                  # (1|B,A,G)
+        s2_new = sig2_ag[..., None] + tail_f                        # (B,A,G,D)
+
+        keep = is_interior[:, None]
+        m = jnp.where(keep[..., None], m_f.reshape(B, K, D), m)
+        s2 = jnp.where(keep[..., None], s2_new.reshape(B, K, D), s2)
+        lp = jnp.where(keep, lp_new.reshape(B, K), lp)
+
+        if return_preds:
+            # mix posterior histories with the fusion weights, then record the
+            # state distribution of the frame dropped from the window
+            z = jnp.zeros((), t.dtype)
+            mixed = jnp.einsum('bago,bgots->bagts',
+                               wn, cat.reshape(B, G, A, Tpad, S))
+            mixed = jax.lax.dynamic_update_slice(
+                mixed, wn[..., None, :], (z, z, z, t + 1, z))
+            cat = jnp.where(keep[..., None, None],
+                            mixed.reshape(B, K, Tpad, S), cat)
+
+            pbar = jax.nn.softmax(fin, axis=-1)                     # (B,K)
+            hist = jnp.einsum('bk,bkts->bts', pbar, cat)
+            wpost = jnp.einsum('bk,kws->bws', pbar, onehot)
+            hist = jax.lax.dynamic_update_slice(hist, wpost, (z, t + 1, z))
+            preds = preds + jnp.where(is_final[:, None, None],
+                                      hist[:, W:, :], 0.0)
+
+        return (m, s2, lp, logl, cat, preds), None
+
+    if remat:
+        step = jax.checkpoint(step)
+
+    ts = jnp.arange(1, T, dtype=jnp.int32)
+    xs = (ts,
+          jnp.swapaxes(positions[:, 1:], 0, 1),        # (T-1, B, D)
+          jnp.swapaxes(l2[:, 1:], 0, 1),               # (T-1, B, D)
+          jax.vmap(sig2_row)(jnp.minimum(ts, R - 1))   # (T-1, [B,] P)
+          if R > 1 else jnp.broadcast_to(sig2_row(0), (T - 1,) + sig2.shape[-1:])
+          if not per_track_sig2 else
+          jnp.broadcast_to(sig2_row(0)[None], (T - 1, B, sig2.shape[-1])))
+
+    carry = (m0, s2_0, lp_0, logl_0, cat_0, preds_0)
+    carry, _ = jax.lax.scan(step, carry, xs)
+    logl = carry[3]
+    if return_preds:
+        return logl, carry[5]
+    return logl
+
+
+def batch_log_likelihood(batch, tables, **kw):
+    """Sum of per-track log likelihoods for a TrackBatch."""
+    return jnp.sum(forward(batch.positions, batch.lengths, batch.is_bleached,
+                           tables, **kw))

@@ -1,0 +1,190 @@
+"""Engine vs exact-enumeration oracle parity tests.
+
+When the register window covers the whole hidden chain (W >= (T-1)*n + 1) the
+fixed-window engine performs no lossy fusion and must match the brute-force
+oracle to float64 precision.  Shorter windows reproduce the reference's
+``frame_len`` approximation and must stay close to exact.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from extrack_tpu.core import engine, oracle, tables
+
+
+def _sim_tracks(rng, n_tracks, T, D, Ds, tr, Fs, loc_err, dt):
+    """Tiny direct simulator (frame-resolution states) for test inputs."""
+    S = len(Ds)
+    xs = np.zeros((n_tracks, T, D))
+    states = np.zeros((n_tracks, T), dtype=int)
+    for i in range(n_tracks):
+        s = rng.choice(S, p=Fs)
+        r = rng.normal(0, 1, D)
+        for t in range(T):
+            states[i, t] = s
+            xs[i, t] = r + rng.normal(0, loc_err, D)
+            s_next = rng.choice(S, p=tr[s])
+            step_sig = np.sqrt((2 * Ds[s] * dt + 2 * Ds[s_next] * dt) / 2)
+            r = r + rng.normal(0, step_sig, D)
+            s = s_next
+    return xs, states
+
+
+def _run_both(xs, lengths, is_bleached, Ds, Fs, rates, loc_err, dt, pBL,
+              cell_dims, n, W, min_len, matrix_type=1):
+    tr_sub = np.asarray(tables.transition_matrix(
+        jnp.asarray(rates), nb_substeps=n, matrix_type=matrix_type))
+    tb = tables.build_tables(Ds, loc_err, Fs, rates, pBL, dt,
+                             cell_dims=cell_dims, nb_substeps=n,
+                             matrix_type=matrix_type)
+    got = engine.forward(jnp.asarray(xs), jnp.asarray(lengths),
+                         jnp.asarray(is_bleached, dtype=float), tb,
+                         window=W, nb_substeps=n, min_len=min_len)
+    want = np.array([
+        oracle.track_log_likelihood(
+            xs[i][:lengths[i]],
+            loc_err if np.ndim(loc_err) <= 1 else loc_err[i][:lengths[i]],
+            Ds, Fs, tr_sub, pBL=pBL, is_bleached=float(is_bleached[i]),
+            cell_dims=cell_dims, nb_substeps=n, dt=dt, min_len=min_len)
+        if lengths[i] >= 2 else 0.0
+        for i in range(len(xs))])
+    return np.asarray(got), want
+
+
+def test_two_state_exact_window():
+    rng = np.random.default_rng(3)
+    Ds, Fs = np.array([0.0, 0.1]), np.array([0.4, 0.6])
+    rates = np.array([[0.0, 0.1], [0.15, 0.0]])
+    xs, _ = _sim_tracks(rng, 5, 6, 2, Ds, np.array([[.9, .1], [.15, .85]]),
+                        Fs, 0.02, 0.02)
+    lengths = np.full(5, 6)
+    isbl = np.array([1, 1, 0, 1, 0])
+    got, want = _run_both(xs, lengths, isbl, Ds, Fs, rates, 0.02, 0.02,
+                          0.1, (0.8,), n=1, W=6, min_len=3)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
+def test_three_state_exact_window():
+    rng = np.random.default_rng(4)
+    Ds = np.array([0.001, 0.05, 0.3])
+    Fs = np.array([0.3, 0.4, 0.3])
+    rates = np.full((3, 3), 0.08)
+    tr = np.array([[.8, .1, .1], [.1, .8, .1], [.1, .1, .8]])
+    xs, _ = _sim_tracks(rng, 4, 5, 2, Ds, tr, Fs, 0.02, 0.02)
+    lengths = np.full(4, 5)
+    isbl = np.ones(4)
+    got, want = _run_both(xs, lengths, isbl, Ds, Fs, rates, 0.02, 0.02,
+                          0.1, (1.0,), n=1, W=5, min_len=3)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
+def test_substeps_exact_window():
+    rng = np.random.default_rng(5)
+    Ds, Fs = np.array([0.0, 0.1]), np.array([0.5, 0.5])
+    rates = np.array([[0.0, 0.2], [0.3, 0.0]])
+    xs, _ = _sim_tracks(rng, 3, 4, 2, Ds, np.array([[.9, .1], [.15, .85]]),
+                        Fs, 0.02, 0.02)
+    lengths = np.full(3, 4)
+    isbl = np.array([1, 0, 1])
+    # hidden chain length (T-1)*n+1 = 7 -> W=7 is exact
+    got, want = _run_both(xs, lengths, isbl, Ds, Fs, rates, 0.02, 0.02,
+                          0.1, (0.5,), n=2, W=7, min_len=3)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
+def test_mixed_lengths_and_padding():
+    rng = np.random.default_rng(6)
+    Ds, Fs = np.array([0.0, 0.08]), np.array([0.5, 0.5])
+    rates = np.array([[0.0, 0.1], [0.1, 0.0]])
+    xs, _ = _sim_tracks(rng, 6, 7, 2, Ds, np.array([[.9, .1], [.1, .9]]),
+                        Fs, 0.02, 0.02)
+    lengths = np.array([7, 5, 3, 2, 6, 0])   # incl. an empty padded slot
+    xs[5] = 0.0
+    isbl = np.array([0, 1, 1, 1, 1, 0])
+    got, want = _run_both(xs, lengths, isbl, Ds, Fs, rates, 0.02, 0.02,
+                          0.1, (1.0,), n=1, W=7, min_len=2)
+    assert got[5] == 0.0
+    np.testing.assert_allclose(got[:5], want[:5], rtol=1e-10, atol=1e-10)
+
+
+def test_per_peak_loc_err_and_per_dim():
+    rng = np.random.default_rng(7)
+    Ds, Fs = np.array([0.0, 0.1]), np.array([0.4, 0.6])
+    rates = np.array([[0.0, 0.1], [0.15, 0.0]])
+    xs, _ = _sim_tracks(rng, 3, 5, 2, Ds, np.array([[.9, .1], [.15, .85]]),
+                        Fs, 0.02, 0.02)
+    loc_err = 0.015 + 0.02 * rng.random((3, 5, 2))
+    lengths = np.full(3, 5)
+    isbl = np.ones(3)
+    got, want = _run_both(xs, lengths, isbl, Ds, Fs, rates, loc_err, 0.02,
+                          0.1, (0.8,), n=1, W=5, min_len=3)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
+def test_window_approximation_close_to_exact():
+    rng = np.random.default_rng(8)
+    Ds, Fs = np.array([0.0, 0.1]), np.array([0.4, 0.6])
+    rates = np.array([[0.0, 0.1], [0.15, 0.0]])
+    xs, _ = _sim_tracks(rng, 8, 10, 2, Ds, np.array([[.9, .1], [.15, .85]]),
+                        Fs, 0.02, 0.02)
+    lengths = np.full(8, 10)
+    isbl = np.ones(8)
+    got, want = _run_both(xs, lengths, isbl, Ds, Fs, rates, 0.02, 0.02,
+                          0.1, (0.8,), n=1, W=5, min_len=3)
+    # fused-window approximation: not exact, but close (the reference's own
+    # frame_len fusion carries the same class of error, tracking.py:357)
+    assert not np.allclose(got, want, rtol=1e-12)
+    np.testing.assert_allclose(got, want, rtol=1e-2)
+    assert np.max(np.abs(got - want) / np.abs(want)) > 1e-8
+
+
+def test_posteriors_exact_window():
+    rng = np.random.default_rng(9)
+    Ds, Fs = np.array([0.0, 0.1]), np.array([0.4, 0.6])
+    rates = np.array([[0.0, 0.1], [0.15, 0.0]])
+    xs, _ = _sim_tracks(rng, 4, 6, 2, Ds, np.array([[.9, .1], [.15, .85]]),
+                        Fs, 0.02, 0.02)
+    lengths = np.array([6, 6, 4, 6])
+    isbl = np.array([1, 0, 1, 1])
+    tr_sub = np.asarray(tables.transition_matrix(jnp.asarray(rates)))
+    tb = tables.build_tables(Ds, 0.02, Fs, rates, 0.1, 0.02,
+                             cell_dims=(0.8,), nb_substeps=1)
+    logl, preds = engine.forward(
+        jnp.asarray(xs), jnp.asarray(lengths), jnp.asarray(isbl, dtype=float),
+        tb, window=6, nb_substeps=1, min_len=3, return_preds=True)
+    for i in range(4):
+        want_l, want_p = oracle.track_log_likelihood(
+            xs[i][:lengths[i]], 0.02, Ds, Fs, tr_sub, pBL=0.1,
+            is_bleached=float(isbl[i]), cell_dims=(0.8,), nb_substeps=1,
+            dt=0.02, min_len=3, return_posteriors=True)
+        np.testing.assert_allclose(float(logl[i]), want_l, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(preds[i][:lengths[i]]),
+                                   want_p, atol=1e-10)
+        assert np.all(np.asarray(preds[i][lengths[i]:]) == 0.0)
+
+
+def test_gradients_finite():
+    rng = np.random.default_rng(10)
+    Ds, Fs = np.array([0.0, 0.1]), np.array([0.4, 0.6])
+    xs, _ = _sim_tracks(rng, 4, 8, 2, Ds, np.array([[.9, .1], [.15, .85]]),
+                        Fs, 0.02, 0.02)
+    lengths = np.full(4, 8)
+    isbl = np.ones(4)
+
+    def objective(theta):
+        Ds_, rates_, locerr_ = theta
+        tb = tables.build_tables(Ds_, locerr_, jnp.asarray(Fs), rates_,
+                                 0.1, 0.02, cell_dims=(0.8,), nb_substeps=1)
+        return -jnp.sum(engine.forward(
+            jnp.asarray(xs), jnp.asarray(lengths),
+            jnp.asarray(isbl, dtype=float), tb, window=4, nb_substeps=1,
+            min_len=3))
+
+    theta = (jnp.array([0.001, 0.1]),
+             jnp.array([[0.0, 0.1], [0.15, 0.0]]), jnp.asarray(0.02))
+    val, grads = jax.value_and_grad(objective)(theta)
+    assert np.isfinite(float(val))
+    for g in jax.tree_util.tree_leaves(grads):
+        assert np.all(np.isfinite(np.asarray(g)))

@@ -8,5 +8,6 @@ built around a fixed-width sequence-register scan engine that runs fused on
 TPU and shards over device meshes.
 """
 from extrack_tpu.version import __version__  # noqa: F401
-from extrack_tpu import config, data  # noqa: F401
+from extrack_tpu import config, data, params, simulate  # noqa: F401
+from extrack_tpu import fit, predict, tracking, parallel  # noqa: F401
 from extrack_tpu.core import engine, gaussian, oracle, tables  # noqa: F401

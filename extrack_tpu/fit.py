@@ -1,0 +1,233 @@
+"""Maximum-likelihood fitting drivers.
+
+The reference minimizes the negative log likelihood with lmfit BFGS over
+finite-difference gradients — (n_params+1) objective evaluations per gradient
+(extrack/tracking.py:1299-1387).  Here the whole objective (parameter
+constraint graph -> model tables -> scan engine -> psum) is differentiable,
+so one jitted value_and_grad replaces the finite-difference stencil, and
+L-BFGS-B runs on exact gradients.  Parameter bounds are honored through the
+sigmoid bijection in extrack_tpu.params (lmfit applies the equivalent Minuit
+transform internally).
+
+Also provides Fisher-information uncertainties via ``jax.hessian`` — the
+reference does this only manually in its tutorial notebook (SURVEY.md item 9).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import scipy.optimize
+
+import jax
+import jax.numpy as jnp
+
+from extrack_tpu import data as tdata
+from extrack_tpu import params as tparams
+from extrack_tpu.core import engine, tables
+from extrack_tpu.parallel import mesh as pmesh
+
+
+@dataclasses.dataclass
+class FitResult:
+    params: tparams.Parameters
+    logl: float
+    success: bool
+    n_evals: int
+    message: str
+    history: list
+    std_errors: Optional[Dict[str, float]] = None
+    residual: float = 0.0          # -logL, lmfit-style
+
+    def __repr__(self):
+        lines = [f"FitResult(logL={self.logl:.4f}, success={self.success}, "
+                 f"evals={self.n_evals})"]
+        for name, p in self.params.items():
+            err = ""
+            if self.std_errors and name in self.std_errors:
+                err = f" +/- {self.std_errors[name]:.4g}"
+            lines.append(f"  {name} = {p.value:.6g}{err}")
+        return "\n".join(lines)
+
+
+def make_objective(batch: tdata.TrackBatch,
+                   spec: tparams.Parameters,
+                   dt,
+                   nb_states: int,
+                   cell_dims=(1.0,),
+                   nb_substeps: int = 1,
+                   window: int = 6,
+                   min_len: Optional[int] = None,
+                   matrix_type: int = 1,
+                   input_loc_err: bool = False,
+                   sharded: bool = False) -> Callable:
+    """Build -logL(z) over unconstrained free-parameter vector z.
+
+    Mirrors cum_Proba_Cs (extrack/tracking.py:991-1088): parameter extraction
+    happens inside the objective so its gradient flows; ``min_len`` defaults
+    to the shortest track length present (tracking.py:1009).
+    """
+    if min_len is None:
+        lens = np.asarray(batch.lengths)
+        min_len = int(lens[lens >= 2].min()) if (lens >= 2).any() else 2
+
+    loc_err_input = batch.loc_err if input_loc_err else None
+    if batch.dt is not None:
+        dt_arr = batch.dt
+    else:
+        dt_arr = jnp.asarray(dt)
+
+    def neg_logl(z):
+        values = spec.resolve(spec.from_unconstrained(z))
+        Ds, Fs, rates, loc_err, pBL = tparams.extract_arrays(
+            values, nb_states, input_loc_err=loc_err_input)
+        tb = tables.build_tables(Ds, loc_err, Fs, rates, pBL, dt_arr,
+                                 cell_dims=cell_dims,
+                                 nb_substeps=nb_substeps,
+                                 matrix_type=matrix_type)
+        if sharded:
+            total = pmesh.sharded_log_likelihood(
+                batch, tb, window=window, nb_substeps=nb_substeps,
+                min_len=min_len)
+        else:
+            total = jnp.sum(engine.forward(
+                batch.positions, batch.lengths, batch.is_bleached, tb,
+                window=window, nb_substeps=nb_substeps, min_len=min_len))
+        return -total
+
+    return neg_logl
+
+
+def fit(batch: tdata.TrackBatch,
+        spec: tparams.Parameters,
+        dt,
+        nb_states: int,
+        cell_dims=(1.0,),
+        nb_substeps: int = 1,
+        window: int = 6,
+        min_len: Optional[int] = None,
+        matrix_type: int = 1,
+        input_loc_err: bool = False,
+        method: str = "L-BFGS-B",
+        verbose: int = 0,
+        max_iter: int = 500,
+        compute_errors: bool = False,
+        sharded: bool = False) -> FitResult:
+    """Fit the free parameters of ``spec`` to a TrackBatch."""
+    neg_logl = make_objective(batch, spec, dt, nb_states, cell_dims,
+                              nb_substeps, window, min_len, matrix_type,
+                              input_loc_err, sharded)
+    vg = jax.jit(jax.value_and_grad(neg_logl))
+    z0 = spec.to_unconstrained()
+    history = []
+    n_evals = [0]
+
+    def fun(z):
+        v, g = vg(jnp.asarray(z))
+        v = float(v)
+        g = np.asarray(g, dtype=np.float64)
+        if not np.isfinite(v):
+            # out-of-domain guard, mirrors the reference's inf objective
+            # (extrack/tracking.py:1078-1086)
+            return 1e300, np.zeros_like(g)
+        n_evals[0] += 1
+        history.append(v)
+        if verbose:
+            vals = spec.resolve(spec.from_unconstrained(z))
+            q = {k: float(np.round(np.asarray(v2), 6))
+                 for k, v2 in vals.items()}
+            print(-v, q)
+        return v, g
+
+    t0 = time.time()
+    res = scipy.optimize.minimize(fun, z0, jac=True, method=method,
+                                  options={"maxiter": max_iter})
+    if verbose:
+        print(f"fit: {n_evals[0]} evaluations in {time.time() - t0:.2f}s")
+
+    fitted = spec.copy()
+    values = fitted.resolve(fitted.from_unconstrained(jnp.asarray(res.x)))
+    fitted.set_values({k: float(np.asarray(v)) for k, v in values.items()
+                       if np.ndim(v) == 0})
+
+    std_errors = None
+    if compute_errors:
+        std_errors = fisher_errors(neg_logl, fitted, res.x)
+
+    return FitResult(params=fitted, logl=-float(res.fun),
+                     success=bool(res.success), n_evals=n_evals[0],
+                     message=str(res.message), history=history,
+                     std_errors=std_errors, residual=float(res.fun))
+
+
+def fisher_errors(neg_logl, spec: tparams.Parameters, z_opt) -> Dict[str, float]:
+    """Parameter standard errors from the inverse observed Fisher information.
+
+    The covariance of the free *natural* parameters is J H^-1 J^T with H the
+    Hessian in unconstrained space and J the bijection Jacobian at the
+    optimum.  Replaces the tutorial-notebook finite-difference Hessian
+    (SURVEY.md section 0, capability 9).
+    """
+    z_opt = jnp.asarray(z_opt)
+    H = np.asarray(jax.hessian(neg_logl)(z_opt), dtype=np.float64)
+
+    def natural(z):
+        vals = spec.from_unconstrained(z)
+        return jnp.stack([vals[n] * jnp.ones(()) for n in spec.free_names()])
+
+    J = np.asarray(jax.jacfwd(natural)(z_opt), dtype=np.float64)
+    try:
+        cov_z = np.linalg.inv(H)
+    except np.linalg.LinAlgError:
+        cov_z = np.linalg.pinv(H)
+    cov = J @ cov_z @ J.T
+    var = np.clip(np.diag(cov), 0.0, np.inf)
+    return {n: float(np.sqrt(v)) for n, v in zip(spec.free_names(), var)}
+
+
+# ---------------------------------------------------------------------------
+# Reference-compatible driver
+# ---------------------------------------------------------------------------
+
+def param_fitting(all_tracks,
+                  dt,
+                  params: Optional[tparams.Parameters] = None,
+                  nb_states: int = 2,
+                  nb_substeps: int = 1,
+                  frame_len: int = 6,
+                  verbose: int = 1,
+                  workers: int = 1,
+                  Matrix_type: int = 1,
+                  method: str = "L-BFGS-B",
+                  steady_state: bool = False,
+                  cell_dims=(1.0,),
+                  input_LocErr=None,
+                  threshold: float = 0.2,
+                  max_nb_states: int = 120,
+                  compute_errors: bool = False,
+                  sharded: bool = False) -> FitResult:
+    """Drop-in style equivalent of the reference param_fitting
+    (extrack/tracking.py:1299-1387).
+
+    ``all_tracks`` is the length-keyed dict format.  ``workers``,
+    ``threshold`` and ``max_nb_states`` are accepted for API compatibility:
+    data parallelism is the device mesh (not a fork pool), and the engine's
+    fixed window (``frame_len``) replaces the CPU-era threshold pruning
+    (SURVEY.md section 7.3).
+    """
+    del workers, threshold, max_nb_states
+    if params is None:
+        params = tparams.generate_params(
+            nb_states=nb_states, LocErr_type=1, LocErr_bounds=(0.005, 0.1),
+            D_max=3.0, estimated_transition_rates=0.1,
+            steady_state=steady_state)
+    batch = tdata.from_dict(all_tracks, input_loc_err=input_LocErr,
+                            dt=dt if isinstance(dt, dict) else None)
+    return fit(batch, params,
+               dt if not isinstance(dt, dict) else 0.0, nb_states,
+               cell_dims=cell_dims, nb_substeps=nb_substeps,
+               window=frame_len, matrix_type=Matrix_type, method=method,
+               verbose=verbose, input_loc_err=input_LocErr is not None,
+               compute_errors=compute_errors, sharded=sharded)

@@ -1,0 +1,80 @@
+"""Multi-chip data parallelism over a 1-D device mesh.
+
+The reference parallelizes with a fork pool mapping track chunks to CPU
+workers and summing per-chunk log likelihoods on the host
+(extrack/tracking.py:33-39,1061-1069).  The TPU-native equivalent: tracks
+shard over a ``data`` mesh axis, every chip runs the same scan kernel on its
+shard, and a single ``psum`` over ICI reduces the scalar log likelihood
+(SURVEY.md section 2, "Parallelism & distribution").  Model tables are tiny
+(<= a few KB) and replicate.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from extrack_tpu import data as tdata
+from extrack_tpu.core import engine
+from extrack_tpu.core.tables import ModelTables
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """A 1-D data-parallel mesh over the available (or given) devices."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def shard_batch(batch: tdata.TrackBatch, mesh: Mesh) -> tdata.TrackBatch:
+    """Pad the batch to a multiple of the mesh size and shard its track axis.
+
+    Padded tracks have length 0 and contribute exactly zero to likelihoods,
+    so sharding never changes results.
+    """
+    n = mesh.devices.size
+    b = batch.batch_size
+    batch = batch.pad_batch_to(int(np.ceil(b / n)) * n)
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+    def put(x):
+        return None if x is None else jax.device_put(x, sharding)
+
+    return tdata.TrackBatch(*(put(c) for c in batch.tree_flatten()[0]))
+
+
+def sharded_log_likelihood(batch: tdata.TrackBatch, tables: ModelTables,
+                           *, window: int = 6, nb_substeps: int = 1,
+                           min_len: int = 3,
+                           mesh: Optional[Mesh] = None) -> jnp.ndarray:
+    """Total logL with tracks sharded over the data axis, psum over ICI.
+
+    Works under jit/grad: with sharded inputs, XLA partitions the scan and
+    inserts the reduction collective automatically (GSPMD); the explicit
+    shard_map path is used when a mesh is passed for strict control.
+    """
+    if mesh is None:
+        return jnp.sum(engine.forward(
+            batch.positions, batch.lengths, batch.is_bleached, tables,
+            window=window, nb_substeps=nb_substeps, min_len=min_len))
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=P(), check_vma=False)
+    def shard_fn(pos, lengths, isbl, tb):
+        local = jnp.sum(engine.forward(
+            pos, lengths, isbl, tb,
+            window=window, nb_substeps=nb_substeps, min_len=min_len))
+        return jax.lax.psum(local, DATA_AXIS)
+
+    return shard_fn(batch.positions, batch.lengths, batch.is_bleached, tables)

@@ -27,7 +27,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-_ALLOWED_NODES = (ast.Expression, ast.BinOp, ast.UnaryOp, ast.Num,
+_ALLOWED_NODES = (ast.Expression, ast.BinOp, ast.UnaryOp,
                   ast.Constant, ast.Name, ast.Load, ast.Add, ast.Sub,
                   ast.Mult, ast.Div, ast.Pow, ast.USub, ast.UAdd, ast.Call)
 _ALLOWED_FUNCS = {"exp": jnp.exp, "log": jnp.log, "sqrt": jnp.sqrt,

@@ -1,0 +1,46 @@
+"""Reference-compatible namespace: extrack.tracking equivalents.
+
+Users of the reference import everything from ``extrack.tracking``
+(extrack/__init__.py:1); this module re-exports the equivalents so switching
+frameworks is a one-line import change.  The engine-level functions live in
+extrack_tpu.core; drivers in extrack_tpu.fit / extrack_tpu.predict.
+"""
+from extrack_tpu.fit import param_fitting, make_objective, fit  # noqa: F401
+from extrack_tpu.predict import predict_Bs, predict_batch  # noqa: F401
+from extrack_tpu.params import (Parameters, generate_params,  # noqa: F401
+                                get_params, extract_arrays)
+from extrack_tpu.core.engine import forward, batch_log_likelihood  # noqa: F401
+from extrack_tpu.core.tables import (build_tables,  # noqa: F401
+                                     transition_matrix, stationary_fractions)
+
+
+def cum_Proba_Cs(params, all_tracks, dt, cell_dims, input_LocErr, nb_states,
+                 nb_substeps, frame_len, verbose=1, workers=1, Matrix_type=1,
+                 threshold=0.2, max_nb_states=120,
+                 max_number_of_tracks_per_matrix=2000):
+    """Negative total log likelihood over a dataset — reference signature
+    (extrack/tracking.py:991-1088).  Chunking/threshold knobs are accepted
+    for compatibility; the batched scan needs neither."""
+    del workers, threshold, max_nb_states, max_number_of_tracks_per_matrix
+    from extrack_tpu import data as tdata
+    import numpy as np
+    import jax.numpy as jnp
+    batch = tdata.from_dict(all_tracks, input_loc_err=input_LocErr,
+                            dt=dt if isinstance(dt, dict) else None)
+    spec = params
+    values = spec.resolve() if isinstance(spec, Parameters) else spec
+    Ds, Fs, rates, loc_err, pBL = extract_arrays(
+        values, nb_states,
+        input_loc_err=batch.loc_err if input_LocErr is not None else None)
+    dt_arr = batch.dt if batch.dt is not None else jnp.asarray(dt)
+    tb = build_tables(Ds, loc_err, Fs, rates, pBL, dt_arr,
+                      cell_dims=cell_dims, nb_substeps=nb_substeps,
+                      matrix_type=Matrix_type)
+    lens = np.asarray(batch.lengths)
+    min_len = int(lens[lens >= 2].min()) if (lens >= 2).any() else 2
+    out = -float(batch_log_likelihood(batch, tb, window=frame_len,
+                                      nb_substeps=nb_substeps,
+                                      min_len=min_len))
+    if verbose:
+        print(out)
+    return out

@@ -1,0 +1,83 @@
+"""Simulate -> fit parameter-recovery integration tests.
+
+This is the reference's only correctness check (its tutorial simulates with
+known D/TrMat and refits, SURVEY.md section 4); here it runs as an automated
+test with fixed seeds.
+"""
+import numpy as np
+import pytest
+
+from extrack_tpu import data as tdata
+from extrack_tpu import fit, params as xp, simulate
+
+
+@pytest.fixture(scope="module")
+def sim_dataset():
+    tracks, states, sigs = simulate.sim_fov(
+        nb_tracks=1500, max_track_len=12, min_track_len=3, LocErr=0.02,
+        Ds=(0.0, 0.08), TrMat=np.array([[0.9, 0.1], [0.1, 0.9]]), dt=0.02,
+        pBL=0.05, cell_dims=(0.5, None, None), seed=7)
+    return tracks, states, sigs
+
+
+def test_two_state_parameter_recovery(sim_dataset):
+    tracks, _, _ = sim_dataset
+    batch = tdata.from_dict(tracks)
+    spec = xp.generate_params(nb_states=2, LocErr_type=1, D_max=1.0,
+                              estimated_Ds=[0.005, 0.05],
+                              estimated_transition_rates=0.08)
+    res = fit.fit(batch, spec, 0.02, 2, cell_dims=(0.5,), window=4,
+                  verbose=0, compute_errors=True)
+    assert res.success
+    v = res.params.valuesdict()
+    assert v["LocErr"] == pytest.approx(0.02, rel=0.1)
+    assert v["D0"] == pytest.approx(0.0, abs=0.004)
+    assert v["D1"] == pytest.approx(0.08, rel=0.25)
+    assert v["p01"] == pytest.approx(0.1, rel=0.5)
+    assert v["p10"] == pytest.approx(0.1, rel=0.5)
+    assert v["pBL"] == pytest.approx(0.05, rel=0.5)
+    # Fisher errors exist and are sane
+    assert 0 < res.std_errors["LocErr"] < 0.01
+
+
+def test_fit_improves_logl(sim_dataset):
+    tracks, _, _ = sim_dataset
+    batch = tdata.from_dict(tracks)
+    spec = xp.generate_params(nb_states=2, LocErr_type=1, D_max=1.0,
+                              estimated_Ds=[0.005, 0.05],
+                              estimated_transition_rates=0.08)
+    obj = fit.make_objective(batch, spec, 0.02, 2, cell_dims=(0.5,), window=4)
+    init = -float(obj(spec.to_unconstrained()))
+    res = fit.fit(batch, spec, 0.02, 2, cell_dims=(0.5,), window=4, verbose=0)
+    assert res.logl > init
+
+
+def test_steady_state_constraint():
+    spec = xp.generate_params(nb_states=2, steady_state=True)
+    vals = spec.resolve()
+    f0, p01, p10 = (float(np.asarray(vals[k])) for k in ("F0", "p01", "p10"))
+    assert p10 == pytest.approx(p01 / (1 / f0 - 1))
+    assert "p10" not in spec.free_names()
+
+
+def test_predict_annotates_states(sim_dataset):
+    from extrack_tpu import predict
+    tracks, states, _ = sim_dataset
+    spec = xp.generate_params(nb_states=2, LocErr_type=1,
+                              estimated_LocErr=[0.02],
+                              estimated_Ds=[0.0, 0.08],
+                              estimated_Fs=[0.5, 0.5],
+                              estimated_transition_rates=0.1)
+    preds = predict.predict_Bs(tracks, 0.02, spec, cell_dims=(0.5,),
+                               nb_states=2, frame_len=5)
+    # posterior argmax should agree with the true states most of the time
+    correct = total = 0
+    for key in preds:
+        guess = np.argmax(preds[key], axis=-1)
+        correct += (guess == states[key]).sum()
+        total += guess.size
+    assert total > 0
+    assert correct / total > 0.8
+    # rows are normalized
+    for key in preds:
+        np.testing.assert_allclose(preds[key].sum(-1), 1.0, atol=1e-8)

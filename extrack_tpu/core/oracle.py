@@ -47,7 +47,8 @@ def stay_prob(sub_d, cell_dims, grid_size=1000):
 
 def track_log_likelihood(x, loc_err, Ds, Fs, tr_sub, pBL=0.1, is_bleached=1,
                          cell_dims=(1.0,), nb_substeps=1, dt=0.02,
-                         min_len=3, return_posteriors=False):
+                         min_len=3, return_posteriors=False,
+                         return_sequence_logls=False):
     """Exact log likelihood of one track by summing over all hidden sequences.
 
     x: (T, D); loc_err: scalar or (T, D) std; Ds: (S,); Fs: (S,);
@@ -116,6 +117,8 @@ def track_log_likelihood(x, loc_err, Ds, Fs, tr_sub, pBL=0.1, is_bleached=1,
         logls.append(lp)
 
     logls = np.array(logls)
+    if return_sequence_logls:
+        return logls, seqs
     logl = _logsumexp(logls)
     if not return_posteriors:
         return logl
@@ -126,6 +129,83 @@ def track_log_likelihood(x, loc_err, Ds, Fs, tr_sub, pBL=0.1, is_bleached=1,
         for t in range(T):
             post[t, beta[t * n]] += wi
     return logl, post
+
+
+def segment_histogram(x, loc_err, Ds, Fs, tr_sub, pBL=0.1, is_bleached=1,
+                      cell_dims=(1.0,), dt=0.02, min_len=3):
+    """Exact posterior-weighted segment-length histogram of one track
+    (nb_substeps=1): enumerate sequences, normalize weights per track, add
+    each same-state run's weight to hist[run_len-1, state]."""
+    T = len(x)
+    S = len(Ds)
+    logls, seqs = track_log_likelihood(
+        x, loc_err, Ds, Fs, tr_sub, pBL=pBL, is_bleached=is_bleached,
+        cell_dims=cell_dims, nb_substeps=1, dt=dt, min_len=min_len,
+        return_sequence_logls=True)
+    w = np.exp(logls - np.max(logls))
+    w /= w.sum()
+    hist = np.zeros((T, S))
+    for wi, beta in zip(w, seqs):
+        run_start = 0
+        for t in range(1, T + 1):
+            if t == T or beta[t] != beta[t - 1]:
+                hist[t - run_start - 1, beta[run_start]] += wi
+                run_start = t
+    return hist
+
+
+def refined_positions(x, loc_err, Ds, tr, dt=0.02):
+    """Exact refined true-position posterior per localization (nb_substeps=1).
+
+    For every state sequence beta: (r_k, x) are jointly Gaussian, so the
+    conditional mean/var of r_k given all observations follows from the
+    covariance identities; sequences are weighted by P(x|beta) * transition
+    chain (no fractions / survival — the reference refinement scheme,
+    refined_localization.py:93-96).  Returns (mu (T,D), sigma (T,D)).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    T, D = x.shape
+    S = len(Ds)
+    l2 = np.broadcast_to(np.asarray(loc_err, dtype=np.float64) ** 2, (T, D))
+    d2 = 2.0 * np.asarray(Ds) * dt
+    log_T = np.log(tr)
+    ys = x[1:] - x[0]
+
+    mus = np.zeros((0, T, D))
+    variances = np.zeros((0, T, D))
+    logws = []
+    base = np.minimum.outer(np.arange(1, T), np.arange(1, T))
+    for beta in itertools.product(range(S), repeat=T):
+        sig2 = np.array([(d2[beta[t]] + d2[beta[t + 1]]) / 2.0
+                         for t in range(T - 1)])
+        cum = np.concatenate([[0.0], np.cumsum(sig2)])
+        lw = sum(log_T[beta[j], beta[j + 1]] for j in range(T - 1))
+        mu_b = np.zeros((T, D))
+        var_b = np.zeros((T, D))
+        for d in range(D):
+            cov_y = cum[base] + l2[0, d] + np.diag(l2[1:, d])
+            sol = np.linalg.solve(cov_y, ys[:, d])
+            lw_d = -0.5 * (ys[:, d] @ sol
+                           + np.linalg.slogdet(2 * np.pi * cov_y)[1])
+            lw += lw_d
+            for k in range(T):
+                # u = r_k - x_0:  Cov(u, y_j) = cum[min(j,k)] + l2_0,
+                # Var(u) = cum[k] + l2_0  (e_j independent of r_k for j>0)
+                c_uy = cum[np.minimum(np.arange(1, T), k)] + l2[0, d]
+                var_u = cum[k] + l2[0, d]
+                gain = np.linalg.solve(cov_y, c_uy)
+                mu_b[k, d] = x[0, d] + c_uy @ sol
+                var_b[k, d] = var_u - c_uy @ gain
+        mus = np.concatenate([mus, mu_b[None]])
+        variances = np.concatenate([variances, var_b[None]])
+        logws.append(lw)
+
+    logws = np.array(logws)
+    w = np.exp(logws - logws.max())
+    w /= w.sum()
+    mu = np.einsum('s,std->td', w, mus)
+    var = np.einsum('s,std->td', w, variances)
+    return mu, np.sqrt(var)
 
 
 def batch_log_likelihood(xs, lengths, is_bleached, loc_err, **kw):

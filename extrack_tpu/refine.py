@@ -1,0 +1,242 @@
+"""Position refinement: most-likely true positions + refined uncertainty.
+
+Equivalent of the reference refined_localization module
+(extrack/refined_localization.py:48-338): for every localization, the
+posterior over the particle's *true* position is a Gaussian mixture formed by
+combining, per hidden state, a prior propagated from all earlier positions, a
+prior propagated from all later positions, and the observation itself
+(prod_3GaussPDF, :229-285); track ends use two-term products (:221,291).
+
+TPU redesign: the reference runs its recursion twice with Python-loop fusion
+and then aligns forward/backward sequence sets per state with host loops.
+Here both directions are the same fixed-register scan as the likelihood
+engine (suffix direction = prefix scan on per-track-reversed data, so mixed
+track lengths stay one padded batch), each emitting its running register
+(m, s2, logP) per step.  Register slots are ordered with the newest state in
+the leading digit, so the per-state forward/backward alignment is a free
+reshape to (S, K/S) blocks — no matching loops.
+
+Matching the reference's weighting scheme: refinement log-weights carry
+transition terms only — no occupation fractions, survival, or bleaching terms
+(get_LC_Km_Ks accumulates LT+LC only and the backward pass uses uniform
+fractions, refined_localization.py:93-96,218).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from extrack_tpu import data as tdata
+from extrack_tpu.core.engine import make_register_spec, _moment_match
+from extrack_tpu.core.tables import branch_log_trans, state_codes
+
+_TINY = 1e-300
+
+
+def _refine_scan(positions, l2, lengths, log_trans, sig2_states, W):
+    """Prefix scan emitting, for every step t in 1..T-1, the register
+    (m, s2, lp) describing r_t given x_{<t} (before x_t is injected).
+
+    sig2_states: (S,) displacement variance per state (2*D*dt); pair variance
+    is the mean of the two adjacent states' values as in the engine.
+    Returns (ms (B,T,K,D), s2s (B,T,K,D), lps (B,T,K)) with slot 0 dummy.
+    """
+    B, T, D = positions.shape
+    S = log_trans.shape[0]
+    spec = make_register_spec(S, W, 1)
+    K, G, A = spec.K, spec.G, spec.A
+    dtype = positions.dtype
+
+    lt_ag = branch_log_trans(log_trans, 1)[:, spec.prev0_g]      # (S, G)
+    sig2_pair = 0.5 * (sig2_states[:, None] + sig2_states[None, :])  # (a, s)
+    sig2_ag = sig2_pair[:, spec.prev0_g]                          # (S, G)
+
+    init_pat = spec.init_pat                                      # (K,)
+    pairs = state_codes(S, 2)
+    lp0 = log_trans[pairs[:, 1], pairs[:, 0]]                     # LT only
+    lp_init = (lp0[init_pat] - spec.dummy_digits * np.log(S)).astype(dtype)
+    sig2_init = sig2_pair.reshape(-1)[init_pat]
+
+    m0 = jnp.broadcast_to(positions[:, 0, None, :], (B, K, D))
+    s2_0 = jnp.broadcast_to(l2[:, 0, None, :] + sig2_init[None, :, None],
+                            (B, K, D))
+    lp_0 = jnp.broadcast_to(lp_init, (B, K))
+
+    def step(carry, xs):
+        m, s2, lp = carry
+        t, x_t, l2_t = xs
+        emit = (m, s2, lp)
+        is_interior = (t < lengths - 1)
+        tot = l2_t[:, None, :] + s2
+        new_m = (m * l2_t[:, None, :] + x_t[:, None, :] * s2) / tot
+        tail = l2_t[:, None, :] * s2 / tot
+        lc = jnp.sum(-0.5 * jnp.log(2 * jnp.pi * tot)
+                     - (x_t[:, None, :] - m) ** 2 / (2 * tot), -1)
+        base = (lp + lc).reshape(B, G, A)
+        lp_child = base[:, None] + lt_ag[None, :, :, None]
+        lp_new, (m_f, tail_f), _ = _moment_match(
+            lp_child,
+            [new_m.reshape(B, 1, G, A, D), tail.reshape(B, 1, G, A, D)])
+        s2_new = sig2_ag[None, :, :, None] + tail_f
+        keep = is_interior[:, None]
+        m = jnp.where(keep[..., None], m_f.reshape(B, K, D), m)
+        s2 = jnp.where(keep[..., None], s2_new.reshape(B, K, D), s2)
+        lp = jnp.where(keep, lp_new.reshape(B, K), lp)
+        return (m, s2, lp), emit
+
+    ts = jnp.arange(1, T, dtype=jnp.int32)
+    xs = (ts, jnp.swapaxes(positions[:, 1:], 0, 1),
+          jnp.swapaxes(l2[:, 1:], 0, 1))
+    _, (ms, s2s, lps) = jax.lax.scan(step, (m0, s2_0, lp_0), xs)
+
+    pad = lambda a: jnp.concatenate(  # noqa: E731 — slot k=0 is a dummy
+        [jnp.zeros_like(a[:1]), a], axis=0)
+    return (jnp.swapaxes(pad(ms), 0, 1), jnp.swapaxes(pad(s2s), 0, 1),
+            jnp.swapaxes(pad(lps), 0, 1))
+
+
+def _reverse_tracks(arr, lengths):
+    """Per-track time reversal of a padded (B, T, ...) array."""
+    B, T = arr.shape[:2]
+    idx = jnp.clip(lengths[:, None] - 1 - jnp.arange(T)[None, :], 0, T - 1)
+    return jnp.take_along_axis(
+        arr, idx.reshape((B, T) + (1,) * (arr.ndim - 2)), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def refine_positions(positions, lengths, loc_err2, log_trans, sig2_states,
+                     *, window: int = 7):
+    """Refined per-localization position posteriors.
+
+    Returns (mu (B,T,D), sigma (B,T,D)) — the moment-matched mean and std of
+    the true-position mixture at every localization
+    (position_refinement, refined_localization.py:304-338).
+    """
+    B, T, D = positions.shape
+    S = log_trans.shape[0]
+    spec = make_register_spec(S, window, 1)
+    K = spec.K
+    KS = K // S
+    dtype = positions.dtype
+    lengths = lengths.astype(jnp.int32)
+    l2 = jnp.broadcast_to(loc_err2.astype(dtype), (B, T, D))
+
+    # prefix: priors from earlier positions (transitions in forward time)
+    pm, ps2, plp = _refine_scan(positions, l2, lengths, log_trans,
+                                sig2_states, window)
+    # suffix: priors from later positions — prefix scan on reversed tracks
+    # with the transposed transition matrix (refined_localization.py:216-218)
+    rpos = _reverse_tracks(positions, lengths)
+    rl2 = _reverse_tracks(l2, lengths)
+    sm, ss2, slp = _refine_scan(rpos, rl2, lengths, log_trans.T,
+                                sig2_states, window)
+    # map suffix emissions back to forward positions: k -> len-1-k
+    sm = _reverse_tracks(sm, lengths)
+    ss2 = _reverse_tracks(ss2, lengths)
+    slp = _reverse_tracks(slp, lengths)
+
+    x = positions[:, :, None, :]
+    # ---- end products: obs x prior from the single available side --------
+    def prod2(m, s2, lp):
+        tot = s2 + l2[:, :, None, :]
+        mu = (x * s2 + m * l2[:, :, None, :]) / tot
+        var = s2 * l2[:, :, None, :] / tot
+        lw = lp + jnp.sum(-0.5 * jnp.log(2 * jnp.pi * tot)
+                          - (x - m) ** 2 / (2 * tot), -1)
+        return mu, var, lw                          # (B,T,K,D) x2, (B,T,K)
+
+    mu_s, var_s, lw_s = prod2(sm, ss2, slp)         # for k = 0
+    mu_p, var_p, lw_p = prod2(pm, ps2, plp)         # for k = L-1
+
+    # ---- interior: state-matched three-way products ----------------------
+    # slots are ordered newest-state-major: block s = slots [s*KS, (s+1)*KS)
+    def blocks(a, extra):
+        return a.reshape((B, T, S, KS) + extra)
+
+    pmb, ps2b, plpb = blocks(pm, (D,)), blocks(ps2, (D,)), blocks(plp, ())
+    smb, ss2b, slpb = blocks(sm, (D,)), blocks(ss2, (D,)), blocks(slp, ())
+
+    # product of prefix and suffix priors (per state block, all slot pairs)
+    v1 = ps2b[:, :, :, :, None, :]                  # (B,T,S,KS,1,D)
+    v2 = ss2b[:, :, :, None, :, :]                  # (B,T,S,1,KS,D)
+    m1 = pmb[:, :, :, :, None, :]
+    m2 = smb[:, :, :, None, :, :]
+    tot12 = v1 + v2
+    mu12 = (m1 * v2 + m2 * v1) / tot12
+    var12 = v1 * v2 / tot12
+    lc12 = jnp.sum(-0.5 * jnp.log(2 * jnp.pi * tot12)
+                   - (m1 - m2) ** 2 / (2 * tot12), -1)
+    # then product with the observation
+    xl = positions[:, :, None, None, :]             # (B,T,1,1,D)
+    l2i = l2[:, :, None, None, :]
+    tot_o = var12 + l2i[:, :, None]
+    mu_i = (xl[:, :, None] * var12 + mu12 * l2i[:, :, None]) / tot_o
+    var_i = var12 * l2i[:, :, None] / tot_o
+    lw_i = (plpb[:, :, :, :, None] + slpb[:, :, :, None, :] + lc12
+            + jnp.sum(-0.5 * jnp.log(2 * jnp.pi * tot_o)
+                      - (xl[:, :, None] - mu12) ** 2 / (2 * tot_o), -1))
+
+    def moment(mu, var, lw):
+        mx = jnp.max(lw, axis=2, keepdims=True)
+        w = jnp.exp(lw - jnp.where(jnp.isfinite(mx), mx, 0.0))
+        sw = jnp.maximum(jnp.sum(w, axis=2), _TINY)[..., None]   # (B,T,1)
+        mu_out = jnp.sum(w[..., None] * mu, axis=2) / sw
+        var_out = jnp.sum(w[..., None] * var, axis=2) / sw
+        return mu_out, var_out
+
+    flat_i = lambda a: a.reshape((B, T, S * KS * KS) + a.shape[5:])  # noqa
+    mu_int, var_int = moment(flat_i(mu_i), flat_i(var_i), flat_i(lw_i))
+    mu_first, var_first = moment(mu_s, var_s, lw_s)
+    mu_last, var_last = moment(mu_p, var_p, lw_p)
+
+    k_idx = jnp.arange(T)[None, :]
+    first = (k_idx == 0)[..., None]
+    last = (k_idx == lengths[:, None] - 1)[..., None]
+    mu = jnp.where(first, mu_first, jnp.where(last, mu_last, mu_int))
+    var = jnp.where(first, var_first, jnp.where(last, var_last, var_int))
+    valid = (k_idx < lengths[:, None])[..., None]
+    # two-point tracks: both ends, no interior — 'first' takes precedence at
+    # k=0 and 'last' at k=1, which is exactly right
+    return jnp.where(valid, mu, 0.0), jnp.where(valid, jnp.sqrt(var), 0.0)
+
+
+def position_refinement(all_tracks: Dict[str, np.ndarray],
+                        LocErr,
+                        ds,
+                        Fs,
+                        TrMat,
+                        frame_len: int = 7,
+                        threshold: float = 0.1,
+                        max_nb_states: int = 1000
+                        ) -> Tuple[Dict[str, np.ndarray],
+                                   Dict[str, np.ndarray]]:
+    """Reference-compatible driver (refined_localization.py:304-338).
+
+    ``ds`` are per-state step stds sqrt(2*D*dt); ``TrMat`` is the transition
+    probability matrix.  ``threshold``/``max_nb_states`` accepted for
+    compatibility (the fixed window replaces threshold pruning).  Returns
+    (mus, sigmas) dicts; sigmas follow the reference in reporting the
+    first-dimension std per position.
+    """
+    del Fs, threshold, max_nb_states  # fractions don't enter refinement
+    batch = tdata.from_dict(
+        all_tracks,
+        input_loc_err=LocErr if isinstance(LocErr, dict) else None)
+    if isinstance(LocErr, dict):
+        loc_err2 = batch.loc_err ** 2
+    else:
+        loc_err2 = jnp.asarray(np.asarray(LocErr, dtype=np.float64) ** 2)
+        while loc_err2.ndim < 3:
+            loc_err2 = loc_err2[None]
+    sig2_states = jnp.asarray(np.asarray(ds, dtype=np.float64) ** 2)
+    log_trans = jnp.log(jnp.asarray(TrMat, dtype=jnp.float64))
+    mu, sigma = refine_positions(batch.positions, batch.lengths, loc_err2,
+                                 log_trans, sig2_states, window=frame_len)
+    mus = tdata.to_dict(batch, np.asarray(mu))
+    sigmas = tdata.to_dict(batch, np.asarray(sigma[..., 0]))
+    return mus, sigmas

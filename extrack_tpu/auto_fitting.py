@@ -1,0 +1,132 @@
+"""Automated fitting workflows: hyper-parameter heuristics, iterated refits
+and model selection over the number of states.
+
+The reference ships auto_fitting.py (heuristics choosing ``nb_substeps`` and
+``frame_len`` from the fitted diffusion-length-to-LocErr ratio, DLR, and the
+transition frequency, auto_fitting.py:14-37) but it calls an API that no
+longer exists and is commented out of the package (extrack/__init__.py:4).
+This module provides a working equivalent, plus the model-selection scan the
+reference only demonstrates in its tutorial notebook (cells 46-57): fit an
+increasing number of states and compare penalized likelihoods.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from extrack_tpu import data as tdata
+from extrack_tpu import fit as tfit
+from extrack_tpu import params as tparams
+
+
+def choose_hyperparams(values: Dict[str, float], dt: float,
+                       nb_states: int) -> Dict[str, int]:
+    """Pick (nb_substeps, frame_len) from fitted parameters.
+
+    Heuristics in the spirit of the reference DLR logic (auto_fitting.py:
+    14-37): the diffusion-length-to-LocErr ratio decides how much history a
+    window must carry (low DLR = positions are informative about old states
+    for longer), and high transition rates per frame warrant sub-steps.
+    """
+    loc_err = float(values.get("LocErr", values.get("LocErr0", 0.02)))
+    d_max = max(float(values[f"D{s}"]) for s in range(nb_states))
+    dlr = np.sqrt(2.0 * d_max * dt) / max(loc_err, 1e-9)
+    rates = [float(values[k]) for k in values
+             if k.startswith("p") and k not in ("pBL",) and len(k) == 3]
+    max_rate = max(rates) if rates else 0.1
+
+    if dlr > 2.0:
+        frame_len = 4
+    elif dlr > 1.2:
+        frame_len = 5
+    elif dlr > 0.7:
+        frame_len = 6
+    else:
+        frame_len = 7
+    # budget: cap the register at ~nb_states**frame_len <= 1024
+    while nb_states ** frame_len > 1024 and frame_len > 2:
+        frame_len -= 1
+    nb_substeps = 2 if max_rate > 0.25 else 1
+    return {"frame_len": frame_len, "nb_substeps": nb_substeps}
+
+
+@dataclasses.dataclass
+class AutoFitResult:
+    result: tfit.FitResult
+    hyper: Dict[str, int]
+    stages: List[tfit.FitResult]
+
+
+def auto_fit(all_tracks, dt, nb_states: int = 2, cell_dims=(1.0,),
+             input_LocErr=None, verbose: int = 0,
+             n_iterations: int = 2, **kw) -> AutoFitResult:
+    """Coarse fit -> hyper-parameter choice -> refined fit(s)."""
+    stages = []
+    hyper = {"frame_len": 3, "nb_substeps": 1}
+    params = None
+    for it in range(n_iterations):
+        res = tfit.param_fitting(
+            all_tracks, dt, params=params, nb_states=nb_states,
+            nb_substeps=hyper["nb_substeps"], frame_len=hyper["frame_len"],
+            cell_dims=cell_dims, input_LocErr=input_LocErr, verbose=verbose,
+            **kw)
+        stages.append(res)
+        params = res.params
+        hyper = choose_hyperparams(res.params.valuesdict(), dt, nb_states)
+        if verbose:
+            print(f"auto_fit iter {it}: logL={res.logl:.2f}, next {hyper}")
+    return AutoFitResult(result=stages[-1], hyper=hyper, stages=stages)
+
+
+@dataclasses.dataclass
+class ModelSelectionResult:
+    fits: Dict[int, tfit.FitResult]
+    logls: Dict[int, float]
+    bic: Dict[int, float]
+    aic: Dict[int, float]
+    best_nb_states: int
+
+    def summary(self) -> str:
+        rows = ["states  logL          BIC           AIC"]
+        for s in sorted(self.fits):
+            star = " *" if s == self.best_nb_states else ""
+            rows.append(f"{s:>6}  {self.logls[s]:<12.2f}  "
+                        f"{self.bic[s]:<12.2f}  {self.aic[s]:<12.2f}{star}")
+        return "\n".join(rows)
+
+
+def model_selection(all_tracks, dt, state_range: Sequence[int] = (2, 3, 4),
+                    cell_dims=(1.0,), criterion: str = "bic",
+                    frame_lens: Optional[Dict[int, int]] = None,
+                    verbose: int = 0, **kw) -> ModelSelectionResult:
+    """Fit 2..n-state models and rank them by BIC/AIC.
+
+    The reference performs this manually in its tutorial (a 2->5-state scan
+    that takes "around a day", Tutorial md cell 49); here each fit is a
+    handful of seconds of TPU time.  Default window per state count follows
+    the reference's own defaults (6 -> 5 -> 4 as states grow, SURVEY.md
+    section 7.6e).
+    """
+    frame_lens = frame_lens or {2: 6, 3: 5, 4: 4, 5: 3}
+    n_points = sum(np.prod(np.asarray(all_tracks[k]).shape[:2])
+                   for k in all_tracks)
+    fits, logls, bic, aic = {}, {}, {}, {}
+    for s in state_range:
+        res = tfit.param_fitting(
+            all_tracks, dt, nb_states=s,
+            frame_len=frame_lens.get(s, 4), cell_dims=cell_dims,
+            verbose=verbose, **kw)
+        k_free = len(res.params.free_names())
+        fits[s] = res
+        logls[s] = res.logl
+        bic[s] = k_free * np.log(n_points) - 2 * res.logl
+        aic[s] = 2 * k_free - 2 * res.logl
+        if verbose:
+            print(f"{s} states: logL={res.logl:.2f} "
+                  f"BIC={bic[s]:.2f} AIC={aic[s]:.2f}")
+    crit = bic if criterion == "bic" else aic
+    best = min(crit, key=crit.get)
+    return ModelSelectionResult(fits=fits, logls=logls, bic=bic, aic=aic,
+                                best_nb_states=best)

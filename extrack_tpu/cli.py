@@ -1,0 +1,220 @@
+"""Command-line app: the four analyses of the reference GUI, headless.
+
+The reference ships a Tkinter application with Model Fitting / State
+Labeling / State Lifetime Histogram / Position Refinement windows
+(ExTrack_GUI.py:1288-1293).  On a TPU host the equivalent front-end is this
+CLI: each analysis is a subcommand reading TrackMate CSV/XML, writing CSV /
+XML / JSON results.  A quality->LocErr transform (1/sqrt(q), matching
+ExTrack_GUI.py:273-278) is available through --quality-column.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _load(args):
+    from extrack_tpu.io import readers
+    lengths = np.arange(args.min_len, args.max_len + 1)
+    if args.path.endswith(".xml"):
+        tracks, frames, opt = readers.read_trackmate_xml(
+            args.path, lengths=lengths, dist_th=args.dist_th,
+            opt_metrics_names=[args.quality_column]
+            if args.quality_column else [])
+    else:
+        tracks, frames, opt = readers.read_table(
+            args.path, lengths=lengths, dist_th=args.dist_th,
+            colnames=[args.x_col, args.y_col, args.frame_col, args.id_col],
+            opt_colnames=[args.quality_column] if args.quality_column else [])
+    input_loc_err = None
+    if args.quality_column:
+        q = opt[args.quality_column]
+        input_loc_err = {k: 1.0 / np.sqrt(np.maximum(
+            q[k].astype(np.float64), 1e-12)) for k in q}
+    n = sum(v.shape[0] for v in tracks.values())
+    print(f"loaded {n} tracks "
+          f"({', '.join(f'{k}:{v.shape[0]}' for k, v in tracks.items())})")
+    return tracks, frames, input_loc_err
+
+
+def _add_io_args(p):
+    p.add_argument("path", help="input CSV or TrackMate XML")
+    p.add_argument("--dt", type=float, required=True,
+                   help="frame interval (s)")
+    p.add_argument("--min-len", type=int, default=5)
+    p.add_argument("--max-len", type=int, default=40)
+    p.add_argument("--dist-th", type=float, default=np.inf)
+    p.add_argument("--x-col", default="POSITION_X")
+    p.add_argument("--y-col", default="POSITION_Y")
+    p.add_argument("--frame-col", default="FRAME")
+    p.add_argument("--id-col", default="TRACK_ID")
+    p.add_argument("--quality-column", default=None,
+                   help="per-peak quality column mapped to LocErr=1/sqrt(q)")
+    p.add_argument("--states", type=int, default=2)
+    p.add_argument("--cell-dims", type=float, nargs="+", default=[1.0])
+    p.add_argument("--window", type=int, default=6,
+                   help="frame_len: exactly-resolved state history")
+    p.add_argument("--params", default=None,
+                   help="JSON of fitted parameters (from the fit command)")
+    p.add_argument("--output", "-o", default=None)
+
+
+def _params_from(args, tracks, input_loc_err):
+    from extrack_tpu import params as tparams
+    from extrack_tpu.io import exporters
+    if args.params:
+        return exporters.load_params(args.params)
+    return tparams.generate_params(
+        nb_states=args.states,
+        LocErr_type=None if input_loc_err is not None else 1,
+        D_max=3.0)
+
+
+def cmd_fit(args):
+    from extrack_tpu import fit
+    tracks, _, input_loc_err = _load(args)
+    res = fit.param_fitting(
+        tracks, args.dt, nb_states=args.states, frame_len=args.window,
+        cell_dims=tuple(args.cell_dims), input_LocErr=input_loc_err,
+        verbose=args.verbose, compute_errors=True)
+    print(res)
+    if args.output:
+        payload = {"logL": res.logl, "success": res.success,
+                   "values": res.params.valuesdict(),
+                   "std_errors": res.std_errors}
+        with open(args.output, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        print(f"wrote {args.output}")
+
+
+def cmd_predict(args):
+    from extrack_tpu import predict
+    from extrack_tpu.io import exporters
+    tracks, frames, input_loc_err = _load(args)
+    spec = _params_from(args, tracks, input_loc_err)
+    preds = predict.predict_Bs(tracks, args.dt, spec,
+                               cell_dims=tuple(args.cell_dims),
+                               nb_states=args.states, frame_len=args.window,
+                               input_LocErr=input_loc_err)
+    out = args.output or "extrack_predictions.csv"
+    if out.endswith(".xml"):
+        exporters.save_extrack_2_xml(tracks, preds, spec, out, args.dt,
+                                     all_frames=frames)
+    else:
+        exporters.save_extrack_2_CSV(out, tracks, preds, args.dt,
+                                     all_frames=frames)
+    print(f"wrote {out}")
+
+
+def cmd_hist(args):
+    from extrack_tpu import histograms
+    tracks, _, input_loc_err = _load(args)
+    spec = _params_from(args, tracks, input_loc_err)
+    hist = histograms.len_hist(tracks, spec, args.dt,
+                               cell_dims=tuple(args.cell_dims),
+                               nb_states=args.states,
+                               input_LocErr=input_loc_err)
+    out = args.output or "extrack_durations.csv"
+    header = ",".join(f"state_{s}" for s in range(hist.shape[1]))
+    np.savetxt(out, hist, delimiter=",", header="duration histogram rows = "
+               f"segment length 1..{hist.shape[0]} ({header})")
+    print(f"wrote {out}")
+    if args.plot:
+        from extrack_tpu import visualization as viz
+        import matplotlib.pyplot as plt
+        viz.visualize_states_durations(tracks, spec, args.dt,
+                                       cell_dims=tuple(args.cell_dims),
+                                       nb_states=args.states,
+                                       input_LocErr=input_loc_err)
+        plt.savefig(out.rsplit(".", 1)[0] + ".png", dpi=150)
+
+
+def cmd_refine(args):
+    from extrack_tpu import params as tparams
+    from extrack_tpu import refine
+    from extrack_tpu.core import tables
+    import pandas as pd
+    tracks, frames, input_loc_err = _load(args)
+    spec = _params_from(args, tracks, input_loc_err)
+    vals = spec.resolve()
+    Ds, Fs, rates, loc_err, _ = tparams.extract_arrays(vals, args.states)
+    tr = np.asarray(tables.transition_matrix(rates))
+    ds = np.sqrt(2.0 * np.asarray(Ds) * args.dt)
+    mus, sigmas = refine.position_refinement(
+        tracks, input_loc_err if input_loc_err is not None
+        else float(np.asarray(loc_err).ravel()[0]),
+        ds, np.asarray(Fs), tr, frame_len=args.window)
+    rows = []
+    tid = 0
+    for k in tracks:
+        for i in range(tracks[k].shape[0]):
+            for j in range(int(k)):
+                rows.append({"TRACK_ID": tid, "FRAME": int(frames[k][i, j]),
+                             "X_OBS": tracks[k][i, j, 0],
+                             "Y_OBS": tracks[k][i, j, 1],
+                             "X_REFINED": mus[k][i, j, 0],
+                             "Y_REFINED": mus[k][i, j, 1],
+                             "SIGMA": sigmas[k][i, j]})
+            tid += 1
+    out = args.output or "extrack_refined.csv"
+    pd.DataFrame(rows).to_csv(out, index=False)
+    print(f"wrote {out}")
+
+
+def cmd_simulate(args):
+    from extrack_tpu import simulate
+    from extrack_tpu.io import exporters
+    tracks, states, sigs = simulate.sim_fov(
+        nb_tracks=args.n_tracks, max_track_len=args.max_len,
+        min_track_len=args.min_len, LocErr=args.loc_err,
+        Ds=args.Ds, TrMat=np.array(args.trmat).reshape(len(args.Ds), -1),
+        dt=args.dt, pBL=args.pBL,
+        cell_dims=args.cell_dims + [None] * (3 - len(args.cell_dims)),
+        seed=args.seed, verbose=True)
+    preds = {k: np.eye(len(args.Ds))[states[k]] for k in states}
+    out = args.output or "simulated_tracks.csv"
+    exporters.save_extrack_2_CSV(out, tracks, preds, args.dt)
+    print(f"wrote {out}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="extrack-tpu",
+        description="TPU-native single-particle-tracking state inference")
+    ap.add_argument("--verbose", "-v", action="count", default=0)
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p_fit = sub.add_parser("fit", help="fit model parameters (MLE)")
+    _add_io_args(p_fit)
+    p_pred = sub.add_parser("predict", help="annotate state probabilities")
+    _add_io_args(p_pred)
+    p_hist = sub.add_parser("histogram", help="state duration histograms")
+    _add_io_args(p_hist)
+    p_hist.add_argument("--plot", action="store_true")
+    p_ref = sub.add_parser("refine", help="refine positions")
+    _add_io_args(p_ref)
+
+    p_sim = sub.add_parser("simulate", help="simulate tracks")
+    p_sim.add_argument("--n-tracks", type=int, default=10000)
+    p_sim.add_argument("--min-len", type=int, default=3)
+    p_sim.add_argument("--max-len", type=int, default=40)
+    p_sim.add_argument("--loc-err", type=float, default=0.02)
+    p_sim.add_argument("--Ds", type=float, nargs="+", default=[0.0, 0.05])
+    p_sim.add_argument("--trmat", type=float, nargs="+",
+                       default=[0.9, 0.1, 0.1, 0.9])
+    p_sim.add_argument("--dt", type=float, default=0.02)
+    p_sim.add_argument("--pBL", type=float, default=0.1)
+    p_sim.add_argument("--cell-dims", type=float, nargs="+", default=[0.5])
+    p_sim.add_argument("--seed", type=int, default=None)
+    p_sim.add_argument("--output", "-o", default=None)
+
+    args = ap.parse_args(argv)
+    {"fit": cmd_fit, "predict": cmd_predict, "histogram": cmd_hist,
+     "refine": cmd_refine, "simulate": cmd_simulate}[args.command](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -119,6 +119,10 @@ def forward(positions,
     ``return_preds=True`` (posteriors carried through fusions like the
     reference's ``cur_Bs_cat``, extrack/tracking.py:479,543-544,645-649;
     requires nb_substeps == 1 as in predict_Bs, extrack/tracking.py:839).
+    TPU layout note: all working arrays keep the (large) track axis LAST so
+    it lands on the 128-wide vector lanes, with the K-register on sublanes —
+    the natural (B, K, D) layout puts D=2..3 on lanes and wastes 40-60x of
+    the VPU.  Inputs/outputs stay batch-major; transposes happen once.
     """
     B, T, D = positions.shape
     spec = make_register_spec(tables.nb_states, window, nb_substeps)
@@ -128,100 +132,116 @@ def forward(positions,
 
     dtype = positions.dtype
     lengths = lengths.astype(jnp.int32)
-    is_bleached = is_bleached.astype(dtype)
+    isbl = is_bleached.astype(dtype)[None, :]                         # (1,B)
 
     l2 = jnp.broadcast_to(tables.loc_err2.astype(dtype), (B, T, D))
-    lt_ag = branch_log_trans(tables.log_trans, n)[:, spec.prev0_g]   # (A, G)
-    lsurv = tables.log_survive                                        # (A,)
-    end_k = _gather_rows(tables.end_ll, spec.prev0_k)                 # (K,)
+    xs_pos = positions.transpose(1, 2, 0)                             # (T,D,B)
+    xs_l2 = l2.transpose(1, 2, 0)                                     # (T,D,B)
+    lt_ag = branch_log_trans(tables.log_trans, n)[:, spec.prev0_g]    # (A,G)
+    lsurv = tables.log_survive.astype(dtype)                          # (A,)
+    end_k = _gather_rows(tables.end_ll, spec.prev0_k).astype(
+        dtype)[:, None]                                               # (K,1)
     lp0 = init_log_prob(tables.log_trans, tables.log_frac, n)         # (P,)
 
-    # displacement variance rows: (R, P) or (B, R, P); R in {1, T-1}
+    # displacement variance tables, as (A, G, 1|B) per step
     sig2 = tables.sig2.astype(dtype)
-    per_track_sig2 = sig2.ndim == 3
     R = sig2.shape[-2]
+    ag_pat = np.arange(A)[:, None] * S + spec.prev0_g[None, :]        # (A,G)
 
-    def sig2_row(t_idx):
-        if R == 1:
-            return sig2[..., 0, :]
-        return jnp.take(sig2, jnp.minimum(t_idx, R - 1), axis=-2)
+    def sig2_ag_at(t_idx):
+        row = (sig2[..., 0, :] if R == 1
+               else jnp.take(sig2, jnp.minimum(t_idx, R - 1), axis=-2))
+        agg = _gather_rows(row, ag_pat.reshape(-1))       # (A*G,) or (B,A*G)
+        if agg.ndim == 1:
+            return agg.reshape(A, G, 1)
+        return agg.T.reshape(A, G, B)
 
     # ---- initial register (frame 0 injected) -----------------------------
-    sig2_init = _gather_rows(sig2_row(0), spec.init_pat)   # (K,) or (B, K)
-    m0 = jnp.broadcast_to(positions[:, 0, None, :], (B, K, D))
-    s2_0 = jnp.broadcast_to(
-        l2[:, 0, None, :] + jnp.reshape(sig2_init, (-1, K))[..., None],
-        (B, K, D))
+    sig2_init = _gather_rows(
+        sig2[..., 0, :], spec.init_pat)                   # (K,) or (B,K)
+    sig2_init = (sig2_init[:, None] if sig2_init.ndim == 1
+                 else sig2_init.T)                        # (K, 1|B)
+    m0 = jnp.broadcast_to(xs_pos[0][:, None, :], (D, K, B))
+    s2_0 = jnp.broadcast_to(xs_l2[0][:, None, :] + sig2_init[None],
+                            (D, K, B))
     lp_init = (_gather_rows(lp0, spec.init_pat)
                - spec.dummy_digits * np.log(S)).astype(dtype)
-    lp_0 = jnp.broadcast_to(lp_init, (B, K))
+    lp_0 = jnp.broadcast_to(lp_init[:, None], (K, B))
     logl_0 = jnp.zeros((B,), dtype)
 
     Tpad = T + W
     if return_preds:
-        cat_0 = jnp.zeros((B, K, Tpad, S), dtype)
-        preds_0 = jnp.zeros((B, T, S), dtype)
+        cat_0 = jnp.zeros((K, Tpad, S, B), dtype)
+        preds_0 = jnp.zeros((T, S, B), dtype)
         onehot = jnp.asarray(
             (spec.codes[:, ::-1, None] == np.arange(S)).astype(dtype))
     else:
         cat_0 = preds_0 = onehot = None
 
+    lt_b = lt_ag[:, :, None, None].astype(dtype)          # (A,G,1,1)
+    lsurv_b = lsurv[:, None, None, None]                  # (A,1,1,1)
+
     def step(carry, xs):
         m, s2, lp, logl, cat, preds = carry
-        t, x_t, l2_t, s2row = xs
-        is_final = (t == lengths - 1)
+        t, x_t, l2_t, sig2_ag = xs                        # x/l2 (D,B)
+        is_final = (t == lengths - 1)                     # (B,)
         is_interior = (t < lengths - 1)
 
         # -- closing contribution for tracks ending at this frame ----------
-        tot_f = l2_t[:, None, :] + s2
-        fin = lp + is_bleached[:, None] * end_k + jnp.sum(
-            -0.5 * jnp.log(2 * jnp.pi * tot_f)
-            - (x_t[:, None, :] - m) ** 2 / (2 * tot_f), axis=-1)
-        logl_t = logsumexp(fin, axis=-1)
-        logl = logl + jnp.where(is_final, logl_t, 0.0)
+        tot = l2_t[:, None, :] + s2                       # (D,K,B)
+        quad = -0.5 * jnp.log(2 * jnp.pi * tot) \
+            - (x_t[:, None, :] - m) ** 2 / (2 * tot)
+        lc = jnp.sum(quad, axis=0)                        # (K,B)
+        fin = lp + isbl * end_k + lc
+        logl = logl + jnp.where(is_final, logsumexp(fin, axis=0), 0.0)
 
         # -- branch + Gaussian update (a-independent parts once per parent) -
-        tot = l2_t[:, None, :] + s2                                 # (B,K,D)
         new_m = (m * l2_t[:, None, :] + x_t[:, None, :] * s2) / tot
-        tail = l2_t[:, None, :] * s2 / tot                          # (B,K,D)
-        lc = jnp.sum(-0.5 * jnp.log(2 * jnp.pi * tot)
-                     - (x_t[:, None, :] - m) ** 2 / (2 * tot), axis=-1)
+        tail = l2_t[:, None, :] * s2 / tot                # (D,K,B)
 
         gate = (t + 1 >= min_len).astype(dtype)
-        base = (lp + lc).reshape(B, G, A)                           # o last
-        lp_child = (base[:, None] + lt_ag[None, :, :, None]
-                    + gate * lsurv[None, :, None, None])            # (B,A,G,A)
+        base = (lp + lc).reshape(G, A, B)                 # o = axis 1
+        lp_child = (base[None] + lt_b + gate * lsurv_b)   # (A,G,O,B)
 
-        lp_new, (m_f, tail_f), wn = _moment_match(
-            lp_child,
-            [new_m.reshape(B, 1, G, A, D), tail.reshape(B, 1, G, A, D)])
-        sig2_ag = _gather_rows(s2row, (np.arange(A)[:, None] * S
-                                       + spec.prev0_g[None, :]).reshape(-1))
-        sig2_ag = jnp.reshape(sig2_ag, (-1, A, G))                  # (1|B,A,G)
-        s2_new = sig2_ag[..., None] + tail_f                        # (B,A,G,D)
+        # fuse the oldest sub-states: weighted moment match over O
+        mx = jnp.max(lp_child, axis=2, keepdims=True)
+        safe = jnp.where(jnp.isfinite(mx), mx, 0.0)
+        w = jnp.exp(lp_child - safe)
+        sw = jnp.sum(w, axis=2)
+        wn = w / jnp.maximum(sw[:, :, None], _TINY)       # (A,G,O,B)
+        lp_new = (jnp.squeeze(safe, 2) + jnp.log(jnp.maximum(sw, _TINY))
+                  + jnp.where(jnp.isfinite(mx[:, :, 0]), 0.0, -jnp.inf))
+        new_mv = new_m.reshape(D, G, A, B)
+        tailv = tail.reshape(D, G, A, B)
+        m_f = sum(wn[None, :, :, o] * new_mv[:, None, :, o]
+                  for o in range(A))                      # (D,A,G,B)
+        tail_f = sum(wn[None, :, :, o] * tailv[:, None, :, o]
+                     for o in range(A))
+        s2_new = sig2_ag[None] + tail_f                   # (D,A,G,B)
 
-        keep = is_interior[:, None]
-        m = jnp.where(keep[..., None], m_f.reshape(B, K, D), m)
-        s2 = jnp.where(keep[..., None], s2_new.reshape(B, K, D), s2)
-        lp = jnp.where(keep, lp_new.reshape(B, K), lp)
+        keep = is_interior[None, :]
+        m = jnp.where(keep[None], m_f.reshape(D, K, B), m)
+        s2 = jnp.where(keep[None], s2_new.reshape(D, K, B), s2)
+        lp = jnp.where(keep, lp_new.reshape(K, B), lp)
 
         if return_preds:
-            # mix posterior histories with the fusion weights, then record the
-            # state distribution of the frame dropped from the window
+            # mix posterior histories with the fusion weights, then record
+            # the state distribution of the frame dropped from the window
             z = jnp.zeros((), t.dtype)
-            mixed = jnp.einsum('bago,bgots->bagts',
-                               wn, cat.reshape(B, G, A, Tpad, S))
+            catv = cat.reshape(G, A, Tpad, S, B)
+            mixed = sum(wn[:, :, o, None, None, :] * catv[None, :, o]
+                        for o in range(A))                # (A,G,Tpad,S,B)
+            mixed = mixed.reshape(K, Tpad, S, B)
             mixed = jax.lax.dynamic_update_slice(
-                mixed, wn[..., None, :], (z, z, z, t + 1, z))
-            cat = jnp.where(keep[..., None, None],
-                            mixed.reshape(B, K, Tpad, S), cat)
+                mixed, wn.reshape(K, 1, S, B), (z, t + 1, z, z))
+            cat = jnp.where(keep[None, None], mixed, cat)
 
-            pbar = jax.nn.softmax(fin, axis=-1)                     # (B,K)
-            hist = jnp.einsum('bk,bkts->bts', pbar, cat)
-            wpost = jnp.einsum('bk,kws->bws', pbar, onehot)
-            hist = jax.lax.dynamic_update_slice(hist, wpost, (z, t + 1, z))
-            preds = preds + jnp.where(is_final[:, None, None],
-                                      hist[:, W:, :], 0.0)
+            pbar = jax.nn.softmax(fin, axis=0)            # (K,B)
+            hist = jnp.einsum('kb,ktsb->tsb', pbar, cat)
+            wpost = jnp.einsum('kb,kws->wsb', pbar, onehot)
+            hist = jax.lax.dynamic_update_slice(hist, wpost, (t + 1, z, z))
+            preds = preds + jnp.where(is_final[None, None],
+                                      hist[W:], 0.0)
 
         return (m, s2, lp, logl, cat, preds), None
 
@@ -229,19 +249,16 @@ def forward(positions,
         step = jax.checkpoint(step)
 
     ts = jnp.arange(1, T, dtype=jnp.int32)
-    xs = (ts,
-          jnp.swapaxes(positions[:, 1:], 0, 1),        # (T-1, B, D)
-          jnp.swapaxes(l2[:, 1:], 0, 1),               # (T-1, B, D)
-          jax.vmap(sig2_row)(jnp.minimum(ts, R - 1))   # (T-1, [B,] P)
-          if R > 1 else jnp.broadcast_to(sig2_row(0), (T - 1,) + sig2.shape[-1:])
-          if not per_track_sig2 else
-          jnp.broadcast_to(sig2_row(0)[None], (T - 1, B, sig2.shape[-1])))
+    xs = (ts, xs_pos[1:], xs_l2[1:],
+          jax.vmap(sig2_ag_at)(ts) if R > 1
+          else jnp.broadcast_to(sig2_ag_at(0), (T - 1,)
+                                + sig2_ag_at(0).shape))
 
     carry = (m0, s2_0, lp_0, logl_0, cat_0, preds_0)
     carry, _ = jax.lax.scan(step, carry, xs)
     logl = carry[3]
     if return_preds:
-        return logl, carry[5]
+        return logl, carry[5].transpose(2, 0, 1)
     return logl
 
 

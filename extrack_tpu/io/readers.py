@@ -21,34 +21,35 @@ import pandas as pd
 
 def _bucket_tracks(xy, frames_col, track_ids, lengths, opt_cols,
                    opt_names):
-    """Group contiguous per-row arrays by track and bucket by length."""
+    """Group contiguous per-row arrays by track and bucket by length —
+    fully vectorized (one fancy-index gather per bucket)."""
     lengths = np.asarray(sorted(int(l) for l in lengths))
     lmin, lmax = lengths[0], lengths[-1]
     # boundaries of contiguous track groups (rows pre-sorted by ID, frame)
+    if len(track_ids) == 0:
+        return {}, {}, {m: {} for m in opt_names}
     change = np.nonzero(track_ids[1:] != track_ids[:-1])[0] + 1
     starts = np.concatenate([[0], change])
     counts = np.diff(np.concatenate([starts, [len(track_ids)]]))
+    # bucket length per track: largest allowed length <= count, capped at
+    # lmax (truncation), dropped below lmin (readers.py:185-203)
+    take = np.where(counts > lmax, lmax, 0)
+    mid = (counts >= lmin) & (counts <= lmax)
+    take[mid] = lengths[np.searchsorted(lengths, counts[mid], "right") - 1]
 
-    tracks: Dict[str, list] = {}
-    frames: Dict[str, list] = {}
-    opt: Dict[str, Dict[str, list]] = {m: {} for m in opt_names}
-    for st, ct in zip(starts, counts):
-        if ct > lmax:
-            take = lmax
-        elif ct >= lmin:
-            # largest allowed length <= track length (readers.py:199-203)
-            take = int(lengths[np.searchsorted(lengths, ct, "right") - 1])
-        else:
+    out_t: Dict[str, np.ndarray] = {}
+    out_f: Dict[str, np.ndarray] = {}
+    out_o: Dict[str, Dict[str, np.ndarray]] = {m: {} for m in opt_names}
+    for L in np.unique(take):
+        if L == 0:
             continue
-        key = str(take)
-        tracks.setdefault(key, []).append(xy[st:st + take])
-        frames.setdefault(key, []).append(frames_col[st:st + take])
+        sel = take == L
+        rows = starts[sel][:, None] + np.arange(L)[None, :]
+        key = str(int(L))
+        out_t[key] = xy[rows]
+        out_f[key] = frames_col[rows]
         for m in opt_names:
-            opt[m].setdefault(key, []).append(opt_cols[m][st:st + take])
-    out_t = {k: np.stack(v) for k, v in tracks.items()}
-    out_f = {k: np.stack(v) for k, v in frames.items()}
-    out_o = {m: {k: np.stack(v) for k, v in opt[m].items()}
-             for m in opt_names}
+            out_o[m][key] = opt_cols[m][rows]
     return out_t, out_f, out_o
 
 
@@ -60,7 +61,8 @@ def read_table(paths,
                colnames: Sequence[str] = ("POSITION_X", "POSITION_Y",
                                           "FRAME", "TRACK_ID"),
                opt_colnames: Sequence[str] = (),
-               remove_no_disp: bool = True):
+               remove_no_disp: bool = True,
+               engine: str = "auto"):
     """Read tracks from CSV / pickle / custom-separator tables.
 
     Reference: read_table, extrack/readers.py:101-221.  ``colnames`` holds
@@ -68,12 +70,27 @@ def read_table(paths,
     may itself be a list of columns combined into a composite ID,
     readers.py:142-152).  Returns (tracks, frames, opt_metrics) dicts keyed
     by track length.
+
+    ``engine``: 'auto' tries the multithreaded native C++ parser
+    (native/track_reader.cpp) for plain numeric CSVs and falls back to
+    pandas; 'pandas' / 'native' force one path.
     """
     if isinstance(paths, (str, np.str_)):
         paths = [paths]
     colnames = list(colnames)
     nb_dims = len(colnames) - 2
     frame_col, id_col = colnames[-2], colnames[-1]
+
+    if engine in ("auto", "native") and fmt != "pkl" \
+            and isinstance(id_col, (str, np.str_)):
+        out = _read_table_native(paths, lengths, dist_th, frames_boundaries,
+                                 "," if fmt == "csv" else fmt, colnames,
+                                 opt_colnames, remove_no_disp)
+        if out is not None:
+            return out
+        if engine == "native":
+            raise RuntimeError("native reader unavailable or file not "
+                               "parseable natively")
 
     all_xy: List[np.ndarray] = []
     all_fr: List[np.ndarray] = []
@@ -157,6 +174,65 @@ def read_table(paths,
     return _bucket_tracks(xy[keep_rows], fr[keep_rows], ids[keep_rows],
                           lengths,
                           {m: opt_cols[m][keep_rows] for m in opt_colnames},
+                          list(opt_colnames))
+
+
+def _read_table_native(paths, lengths, dist_th, frames_boundaries, sep,
+                       colnames, opt_colnames, remove_no_disp):
+    """Native-parser fast path: numeric columns only, single ID column.
+    Returns None when the library or a required column is unavailable, or
+    when IDs are non-numeric (pandas path handles those)."""
+    from extrack_tpu.io import native
+    if not native.available():
+        return None
+    nb_dims = len(colnames) - 2
+    cols = list(colnames) + list(opt_colnames)
+    parts = []
+    for path in paths:
+        arr = native.parse_csv_columns(str(path), cols, sep=sep)
+        if arr is None:
+            return None
+        parts.append(arr)
+    raw = np.concatenate(parts) if len(parts) > 1 else parts[0]
+    if np.isnan(raw[:, :nb_dims + 1]).any():
+        return None                      # non-numeric x/y/frame cells
+    id_vals = raw[:, nb_dims + 1]
+    nan_ids = np.isnan(id_vals)
+    if nan_ids.any():
+        # isolated peaks get fresh unique IDs (readers.py:153-157)
+        max_id = np.nanmax(id_vals) if (~nan_ids).any() else 0.0
+        id_vals = id_vals.copy()
+        id_vals[nan_ids] = max_id + 1 + np.arange(nan_ids.sum())
+    order = np.lexsort((raw[:, nb_dims], id_vals))
+    raw = raw[order]
+    id_vals = id_vals[order]
+    _, ids = np.unique(id_vals, return_inverse=True)
+    xy = raw[:, :nb_dims]
+    fr = raw[:, nb_dims]
+    opt_cols = {m: raw[:, nb_dims + 2 + j]
+                for j, m in enumerate(opt_colnames)}
+
+    same = np.concatenate([[False], ids[1:] == ids[:-1]])
+    d2 = np.concatenate([np.zeros((1, nb_dims)), np.diff(xy, axis=0) ** 2])
+    step_d2 = np.where(same[:, None], d2, 0.0).sum(1)
+    n_tracks = int(ids.max()) + 1 if len(ids) else 0
+    n_steps = np.bincount(ids, weights=same.astype(float),
+                          minlength=n_tracks)
+    zero_steps = np.bincount(ids, weights=(same & (step_d2 == 0)),
+                             minlength=n_tracks)
+    frac_zero = np.where(n_steps > 0, zero_steps / np.maximum(n_steps, 1),
+                         0.0)
+    max_d = np.zeros(n_tracks)
+    np.maximum.at(max_d, ids, np.where(same, np.sqrt(step_d2), 0.0))
+    first_frame = np.full(n_tracks, np.inf)
+    np.minimum.at(first_frame, ids, fr)
+    ok = (max_d <= dist_th) & (first_frame >= frames_boundaries[0]) \
+        & (first_frame <= frames_boundaries[1])
+    if remove_no_disp:
+        ok &= frac_zero <= 0.05
+    keep = ok[ids]
+    return _bucket_tracks(xy[keep], fr[keep], ids[keep], lengths,
+                          {m: opt_cols[m][keep] for m in opt_colnames},
                           list(opt_colnames))
 
 

@@ -108,8 +108,15 @@ def main():
     lengths = jnp.asarray(rng.integers(MIN_LEN, T + 1, B_TPU), jnp.int32)
     isbl = (lengths < T).astype(dtype)
 
+    from extrack_tpu.ops import pallas_engine
+
+    use_pallas = jax.default_backend() == "tpu"
+
     @jax.jit
     def total(xs, lengths, isbl):
+        if use_pallas:
+            return jnp.sum(pallas_engine.forward_pallas(
+                xs, lengths, isbl, tb, window=W, min_len=MIN_LEN))
         return jnp.sum(engine.forward(xs, lengths, isbl, tb, window=W,
                                       nb_substeps=1, min_len=MIN_LEN))
 
@@ -121,13 +128,16 @@ def main():
     dt_tpu = (time.perf_counter() - t0) / n_rep
     tracks_per_sec = B_TPU / dt_tpu
 
-    # NumPy baseline (same algorithm, float64 like the reference)
+    # NumPy baseline (same algorithm, float64 like the reference);
+    # best of 3 to be robust against host load
     xs_np = np.asarray(xs[:B_NP], np.float64)
     len_np = np.asarray(lengths[:B_NP])
     isbl_np = np.asarray(isbl[:B_NP], np.float64)
-    t0 = time.perf_counter()
-    logl_np = _numpy_fixed_window_loglik(xs_np, len_np, isbl_np, tb, W)
-    dt_np = time.perf_counter() - t0
+    dt_np = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        logl_np = _numpy_fixed_window_loglik(xs_np, len_np, isbl_np, tb, W)
+        dt_np = min(dt_np, time.perf_counter() - t0)
     np_tracks_per_sec = B_NP / dt_np
 
     # sanity: engine and numpy twin agree (f32 vs f64 tolerance)

@@ -1,0 +1,215 @@
+"""Pallas TPU kernel for the forward likelihood scan.
+
+The XLA scan materializes its (D,K,B) carries plus ~10 intermediates to HBM
+every frame; this kernel keeps the whole sequence register resident in VMEM
+for all T frames and streams only the positions, making the hot path
+compute-bound (HBM traffic = inputs + one scalar per track).
+
+Register encoding (same as core.engine: newest sub-state in the highest slot
+digit, oldest in the lowest).  Consequences on TPU:
+
+  * branching in the new sub-states = ``pltpu.repeat`` (tile) of the fused
+    (G, BLK) block A = S^n times — children of slot g are rows a*G+g, and
+    they differ only by additive per-slot constant vectors,
+  * fusing the oldest n sub-states = reduce over the middle axis of a
+    (G, A, BLK) sublane reshape (groups are A consecutive rows),
+  * every per-slot model quantity (transition chain, survival, displacement
+    variance, end term, init prior) becomes a constant (K, 1) column vector
+    gathered once on the host.
+
+Tracks ride the 128-wide lanes (BLK per grid step); the register rides the
+sublanes.  Semantics match core.engine.forward exactly (same math, different
+slot order); parity is asserted in tests/test_pallas.py.
+
+Current scope (the fitting/benchmark hot path): log likelihood only,
+constant dt, no posterior outputs — those run on the XLA path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from extrack_tpu.core.tables import ModelTables
+
+_TINY = 1e-30
+
+
+def _dig(k, i, S, W):
+    """i-th newest window digit of slot k (digit 0 = newest, at the top)."""
+    return (k // S ** (W - 1 - i)) % S
+
+
+def build_slot_tables(tables: ModelTables, window: int, nb_substeps: int):
+    """(lp0, s2_init, lt, lsurv, end, sig2) as (K,) vectors in the
+    newest-high slot encoding (same as core.engine)."""
+    S = tables.nb_states
+    W, n = window, nb_substeps
+    K = S ** W
+    k = np.arange(K)
+
+    log_T = tables.log_trans
+    # transition chain of the n newest digits: prev state = digit n,
+    # chain prev -> a_{n-1} -> ... -> a_0 (digit 0 = newest)
+    lt = jnp.zeros((K,), log_T.dtype)
+    for j in range(n):
+        lt = lt + log_T[_dig(k, j + 1, S, W), _dig(k, j, S, W)]
+    lsurv = tables.log_survive[k // S ** (W - n)]     # pattern = n newest
+    end = tables.end_ll[_dig(k, 0, S, W)]
+    sig2_row = tables.sig2.reshape(-1, tables.sig2.shape[-1])[0]
+    sig2 = sig2_row[k // S ** (W - n - 1)]            # n+1 newest digits
+
+    log_F = tables.log_frac
+    lp0 = log_F[_dig(k, n, S, W)]
+    for j in range(n):
+        lp0 = lp0 + log_T[_dig(k, j + 1, S, W), _dig(k, j, S, W)]
+    lp0 = lp0 - (W - n - 1) * np.log(S)
+    return lp0, sig2, lt, lsurv, end, sig2
+
+
+def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
+            lsv_ref, endv_ref, s2v_ref, out_ref, m_sc, s2_sc, lp_sc,
+            *, T, D, K, A, G, BLK, min_len):
+    lengths = len_ref[0, :]                      # (BLK,) int32
+    isbl = isbl_ref[0, :][None, :]               # (1, BLK)
+
+    for d in range(D):
+        m_sc[d] = jnp.broadcast_to(xs_ref[pl.ds(d, 1), :], (K, BLK))
+        s2_sc[d] = l2_ref[pl.ds(d, 1), :] + s20_ref[:]
+    lp_sc[:] = jnp.broadcast_to(lp0_ref[:], (K, BLK))
+
+    def body(t, acc):
+        lp = lp_sc[:]
+        lc = jnp.zeros((K, BLK), jnp.float32)
+        new_m = [None] * D
+        tail = [None] * D
+        for d in range(D):
+            x = xs_ref[pl.ds(t * D + d, 1), :]           # (1, BLK)
+            l2t = l2_ref[pl.ds(t * D + d, 1), :]
+            md, s2d = m_sc[d], s2_sc[d]
+            tot = l2t + s2d
+            inv = 1.0 / tot
+            diff = x - md
+            lc += -0.5 * jnp.log(2 * np.pi * tot) - 0.5 * diff * diff * inv
+            new_m[d] = (md * l2t + x * s2d) * inv
+            tail[d] = l2t * s2d * inv
+
+        # closing term for tracks whose last frame is t
+        fin = lp + isbl * endv_ref[:] + lc
+        mx = jnp.max(fin, axis=0, keepdims=True)
+        lse = mx + jnp.log(jnp.sum(jnp.exp(fin - mx), axis=0, keepdims=True))
+        acc = acc + jnp.where((t == lengths - 1)[None, :], lse, 0.0)
+
+        # fuse the oldest sub-states: reduce over the A-sized middle axis
+        # (groups are A consecutive rows: slot k = g*A + o, o = oldest)
+        score3 = (lp + lc).reshape(G, A, BLK)
+        mxs = score3[:, 0]
+        for o in range(1, A):
+            mxs = jnp.maximum(mxs, score3[:, o])
+        w = [jnp.exp(score3[:, o] - mxs) for o in range(A)]
+        sw = w[0]
+        for o in range(1, A):
+            sw = sw + w[o]
+        inv_sw = 1.0 / jnp.maximum(sw, _TINY)
+        lp_f = mxs + jnp.log(jnp.maximum(sw, _TINY))
+
+        keep = (t < lengths - 1)[None, :]
+        gate = jnp.where(t + 1 >= min_len, 1.0, 0.0).astype(jnp.float32)
+        for d in range(D):
+            nm3 = new_m[d].reshape(G, A, BLK)
+            tl3 = tail[d].reshape(G, A, BLK)
+            m_f = w[0] * nm3[:, 0]
+            t_f = w[0] * tl3[:, 0]
+            for o in range(1, A):
+                m_f += w[o] * nm3[:, o]
+                t_f += w[o] * tl3[:, o]
+            m_f *= inv_sw
+            t_f *= inv_sw
+            # children of slot g are rows a*G+g: tile the fused block A times
+            m_sc[d] = jnp.where(keep, pltpu.repeat(m_f, A, axis=0), m_sc[d])
+            s2_sc[d] = jnp.where(keep,
+                                 s2v_ref[:] + pltpu.repeat(t_f, A, axis=0),
+                                 s2_sc[d])
+        lp_new = (pltpu.repeat(lp_f, A, axis=0) + ltv_ref[:]
+                  + gate * lsv_ref[:])
+        lp_sc[:] = jnp.where(keep, lp_new, lp)
+        return acc
+
+    acc = jax.lax.fori_loop(1, T, body, jnp.zeros((1, BLK), jnp.float32))
+    out_ref[:] = acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window", "nb_substeps", "min_len", "block",
+                     "interpret"))
+def forward_pallas(positions,
+                   lengths,
+                   is_bleached,
+                   tables: ModelTables,
+                   *,
+                   window: int = 6,
+                   nb_substeps: int = 1,
+                   min_len: int = 3,
+                   block: int = 512,
+                   interpret: bool = False):
+    """Per-track log likelihood — VMEM-resident Pallas kernel.
+
+    Same semantics as core.engine.forward (logL path).  float32; requires a
+    constant dt (tables.sig2 with a single row).
+    """
+    B, T, D = positions.shape
+    S = tables.nb_states
+    W, n = window, nb_substeps
+    K, A = S ** W, S ** n
+    G = K // A
+    if tables.sig2.reshape(-1, tables.sig2.shape[-1]).shape[0] != 1:
+        raise NotImplementedError("pallas path requires constant dt")
+
+    f32 = jnp.float32
+    lp0, s20, lt, lsurv, end, sig2v = [
+        v.astype(f32)[:, None]
+        for v in build_slot_tables(tables, W, n)]
+
+    BLK = min(block, max(128, 1 << (B - 1).bit_length()))
+    Bp = int(np.ceil(B / BLK)) * BLK
+    l2 = jnp.broadcast_to(tables.loc_err2.astype(f32), (B, T, D))
+    xs = positions.astype(f32).transpose(1, 2, 0).reshape(T * D, B)
+    l2 = l2.transpose(1, 2, 0).reshape(T * D, B)
+    if Bp != B:
+        xs = jnp.pad(xs, ((0, 0), (0, Bp - B)))
+        l2 = jnp.pad(l2, ((0, 0), (0, Bp - B)), constant_values=1.0)
+        lengths = jnp.pad(lengths, (0, Bp - B))
+        is_bleached = jnp.pad(is_bleached, (0, Bp - B))
+    lengths = lengths.astype(jnp.int32)[None, :]
+    isbl = is_bleached.astype(f32)[None, :]
+
+    kernel = functools.partial(_kernel, T=T, D=D, K=K, A=A, G=G, BLK=BLK,
+                               min_len=min_len)
+    grid = (Bp // BLK,)
+    track_spec = pl.BlockSpec((T * D, BLK), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, BLK), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((K, 1), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[track_spec, track_spec, row_spec, row_spec,
+                  vec_spec, vec_spec, vec_spec, vec_spec, vec_spec,
+                  vec_spec],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((1, Bp), f32),
+        scratch_shapes=[pltpu.VMEM((D, K, BLK), f32),
+                        pltpu.VMEM((D, K, BLK), f32),
+                        pltpu.VMEM((K, BLK), f32)],
+        interpret=interpret,
+    )(xs, l2, lengths, isbl, lp0, s20, lt, lsurv, end, sig2v)
+    return out[0, :B]

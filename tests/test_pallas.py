@@ -1,0 +1,60 @@
+"""Pallas kernel parity vs the XLA engine (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from extrack_tpu.core import engine, tables
+from extrack_tpu.ops import pallas_engine
+from tests.test_engine import _sim_tracks
+
+
+def _setup(seed, n_tracks=12, T=9, S=2, n=1):
+    rng = np.random.default_rng(seed)
+    if S == 2:
+        Ds, Fs = np.array([0.0, 0.1]), np.array([0.4, 0.6])
+        rates = np.array([[0.0, 0.1], [0.15, 0.0]])
+        tr = np.array([[.9, .1], [.15, .85]])
+    else:
+        Ds = np.array([0.001, 0.05, 0.3])
+        Fs = np.array([0.3, 0.4, 0.3])
+        rates = np.full((3, 3), 0.08)
+        tr = np.array([[.8, .1, .1], [.1, .8, .1], [.1, .1, .8]])
+    xs, _ = _sim_tracks(rng, n_tracks, T, 2, Ds, tr, Fs, 0.02, 0.02)
+    lengths = rng.integers(2, T + 1, n_tracks)
+    lengths[0] = T
+    isbl = (lengths < T).astype(float)
+    tb = tables.build_tables(
+        jnp.asarray(Ds, jnp.float32), jnp.asarray(0.02, jnp.float32),
+        jnp.asarray(Fs, jnp.float32), jnp.asarray(rates, jnp.float32),
+        jnp.asarray(0.1, jnp.float32), jnp.asarray(0.02, jnp.float32),
+        cell_dims=(0.8,), nb_substeps=n)
+    return xs.astype(np.float32), lengths, isbl, tb
+
+
+@pytest.mark.parametrize("S,n,W", [(2, 1, 6), (3, 1, 4), (2, 2, 5)])
+def test_pallas_matches_engine(S, n, W):
+    xs, lengths, isbl, tb = _setup(40 + S + n, S=S, n=n)
+    ref = engine.forward(jnp.asarray(xs), jnp.asarray(lengths),
+                         jnp.asarray(isbl, jnp.float32), tb,
+                         window=W, nb_substeps=n, min_len=3)
+    got = pallas_engine.forward_pallas(
+        jnp.asarray(xs), jnp.asarray(lengths),
+        jnp.asarray(isbl, jnp.float32), tb, window=W, nb_substeps=n,
+        min_len=3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_padding_and_blocks():
+    xs, lengths, isbl, tb = _setup(50, n_tracks=200, T=7)
+    got = pallas_engine.forward_pallas(
+        jnp.asarray(xs), jnp.asarray(lengths),
+        jnp.asarray(isbl, jnp.float32), tb, window=4, min_len=3,
+        block=128, interpret=True)
+    ref = engine.forward(jnp.asarray(xs), jnp.asarray(lengths),
+                         jnp.asarray(isbl, jnp.float32), tb,
+                         window=4, min_len=3)
+    assert got.shape == (200,)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 # benchmark configuration: 2-state model, 10-frame tracks, window 6
-B_TPU = 131072
+B_TPU = 1 << 20          # ~1M tracks amortize the tunnel dispatch latency
 B_NP = 2048
 T, D, W, S = 10, 2, 6, 2
 MIN_LEN = 3
@@ -116,7 +116,8 @@ def main():
     def total(xs, lengths, isbl):
         if use_pallas:
             return jnp.sum(pallas_engine.forward_pallas(
-                xs, lengths, isbl, tb, window=W, min_len=MIN_LEN))
+                xs, lengths, isbl, tb, window=W, min_len=MIN_LEN,
+                block=1024))
         return jnp.sum(engine.forward(xs, lengths, isbl, tb, window=W,
                                       nb_substeps=1, min_len=MIN_LEN))
 

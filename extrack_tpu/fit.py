@@ -114,8 +114,23 @@ def fit(batch: tdata.TrackBatch,
         verbose: int = 0,
         max_iter: int = 500,
         compute_errors: bool = False,
-        sharded: bool = False) -> FitResult:
-    """Fit the free parameters of ``spec`` to a TrackBatch."""
+        sharded: bool = False,
+        callback=None,
+        checkpoint_path: Optional[str] = None,
+        resume: bool = True) -> FitResult:
+    """Fit the free parameters of ``spec`` to a TrackBatch.
+
+    callback: called as ``callback(n_eval, objective, values)`` per
+        evaluation (see utils.observe.FitRecorder).
+    checkpoint_path: JSON checkpoint written on every improvement; with
+        ``resume=True`` an existing checkpoint warm-starts the fit.
+    """
+    if checkpoint_path and resume:
+        from extrack_tpu.utils.observe import CheckpointManager
+        state = CheckpointManager(checkpoint_path).load()
+        if state is not None:
+            spec = spec.copy()
+            spec.set_values(state["values"])
     neg_logl = make_objective(batch, spec, dt, nb_states, cell_dims,
                               nb_substeps, window, min_len, matrix_type,
                               input_loc_err, sharded)
@@ -123,6 +138,11 @@ def fit(batch: tdata.TrackBatch,
     z0 = spec.to_unconstrained()
     history = []
     n_evals = [0]
+    best = [np.inf]
+    ckpt = None
+    if checkpoint_path:
+        from extrack_tpu.utils.observe import CheckpointManager
+        ckpt = CheckpointManager(checkpoint_path)
 
     def fun(z):
         v, g = vg(jnp.asarray(z))
@@ -134,11 +154,17 @@ def fit(batch: tdata.TrackBatch,
             return 1e300, np.zeros_like(g)
         n_evals[0] += 1
         history.append(v)
-        if verbose:
+        if callback or ckpt or verbose:
             vals = spec.resolve(spec.from_unconstrained(z))
-            q = {k: float(np.round(np.asarray(v2), 6))
-                 for k, v2 in vals.items()}
-            print(-v, q)
+            if callback:
+                callback(n_evals[0], v, vals)
+            if ckpt and v < best[0]:
+                best[0] = v
+                ckpt.save(vals, v, n_evals[0])
+            if verbose:
+                q = {k: float(np.round(np.asarray(v2), 6))
+                     for k, v2 in vals.items()}
+                print(-v, q)
         return v, g
 
     t0 = time.time()

@@ -18,6 +18,7 @@ setup(
         "dev": ["pytest"],
     },
     entry_points={
-        "console_scripts": ["extrack-tpu=extrack_tpu.cli:main"],
+        "console_scripts": ["extrack-tpu=extrack_tpu.cli:main",
+                            "extrack-tpu-gui=extrack_tpu.gui:main"],
     },
 )

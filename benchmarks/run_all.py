@@ -1,0 +1,163 @@
+"""Benchmark suite: the driver-defined configs from BASELINE.md.
+
+1. 2-state fit on the reference fixture Tutorials/example_tracks.csv
+2. predict_Bs + duration histograms
+3. 3-state fit with nb_substeps=2
+4. 2-state position refinement
+5. 10^6-track simulated-FOV fit (sharded over the available mesh)
+6. model-selection scan 2->4 states on 5000 x 10-frame tracks
+   (the reference tutorial quotes "around a day" for this, md cell 49)
+
+Writes benchmarks/results.json and prints one line per config.
+Run on TPU: python benchmarks/run_all.py [--quick]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+
+RESULTS = {}
+
+
+def timed(name):
+    def deco(fn):
+        def run(*a, **kw):
+            t0 = time.perf_counter()
+            out = fn(*a, **kw)
+            dt = time.perf_counter() - t0
+            RESULTS[name] = {"wall_s": round(dt, 3), **(out or {})}
+            print(f"{name}: {dt:.2f}s {out or ''}", flush=True)
+            return out
+        return run
+    return deco
+
+
+FIXTURE = "/root/reference/Tutorials/example_tracks.csv"
+
+
+@timed("fit_2state_example_tracks")
+def bench_fit_fixture():
+    from extrack_tpu import fit
+    from extrack_tpu.io import readers
+    tracks, _, _ = readers.read_table(FIXTURE, lengths=np.arange(5, 12))
+    res = fit.param_fitting(tracks, 0.02, nb_states=2, frame_len=6,
+                            cell_dims=(1.0,), verbose=0)
+    return {"logL": round(res.logl, 3), "n_evals": res.n_evals,
+            "D1": round(res.params["D1"].value, 5)}
+
+
+def _sim(n_tracks, seed=1, max_len=12):
+    from extrack_tpu import simulate
+    return simulate.sim_fov(
+        nb_tracks=n_tracks, max_track_len=max_len, min_track_len=3,
+        LocErr=0.02, Ds=(0.0, 0.08), TrMat=np.array([[0.9, .1], [.1, .9]]),
+        dt=0.02, pBL=0.05, cell_dims=(0.5, None, None), seed=seed)
+
+
+@timed("predict_and_histograms_20k")
+def bench_predict_hist(n=20000):
+    from extrack_tpu import histograms, params as xp, predict
+    tracks, _, _ = _sim(n, seed=2)
+    spec = xp.generate_params(nb_states=2, estimated_LocErr=[0.02],
+                              estimated_Ds=[0.0, 0.08],
+                              estimated_Fs=[0.5, 0.5],
+                              estimated_transition_rates=0.1)
+    preds = predict.predict_Bs(tracks, 0.02, spec, cell_dims=(0.5,),
+                               nb_states=2, frame_len=5)
+    hist = histograms.len_hist(tracks, spec, 0.02, cell_dims=(0.5,),
+                               nb_states=2, max_nb_states=256)
+    n_pos = sum(v.shape[0] * v.shape[1] for v in tracks.values())
+    return {"n_tracks": sum(v.shape[0] for v in tracks.values()),
+            "n_positions": n_pos,
+            "hist_total": round(float(hist.sum()), 1)}
+
+
+@timed("fit_3state_substeps2_5k")
+def bench_3state(n=5000):
+    from extrack_tpu import data as tdata, fit, params as xp, simulate
+    tracks, _, _ = simulate.sim_fov(
+        nb_tracks=n, max_track_len=10, min_track_len=3, LocErr=0.02,
+        Ds=(0.0, 0.03, 0.3), nb_dims=2,
+        TrMat=np.array([[.85, .1, .05], [.1, .85, .05], [.05, .1, .85]]),
+        dt=0.02, pBL=0.05, cell_dims=(0.5, None, None), seed=3)
+    spec = xp.generate_params(nb_states=3, LocErr_type=1, D_max=3.0,
+                              estimated_Ds=[0.001, 0.03, 0.2],
+                              estimated_transition_rates=0.08)
+    res = fit.fit(tdata.from_dict(tracks), spec, 0.02, 3, cell_dims=(0.5,),
+                  nb_substeps=2, window=4, verbose=0)
+    return {"logL": round(res.logl, 1), "n_evals": res.n_evals,
+            "success": bool(res.success)}
+
+
+@timed("refine_2state_10k")
+def bench_refine(n=10000):
+    from extrack_tpu import refine
+    tracks, _, _ = _sim(n, seed=4, max_len=10)
+    Ds = np.array([0.0, 0.08])
+    tr = np.array([[0.9, .1], [.1, .9]])
+    mus, sigmas = refine.position_refinement(
+        tracks, 0.02, np.sqrt(2 * Ds * 0.02), np.array([.5, .5]), tr,
+        frame_len=5)
+    n_pos = sum(v.shape[0] * v.shape[1] for v in mus.values())
+    return {"n_positions": n_pos,
+            "mean_sigma": round(float(np.mean(
+                np.concatenate([s.ravel() for s in sigmas.values()]))), 5)}
+
+
+@timed("fit_1M_tracks_sim_fov")
+def bench_million(n=1_000_000, quick=False):
+    from extrack_tpu import data as tdata, fit, params as xp
+    if quick:
+        n = 100_000
+    t0 = time.perf_counter()
+    tracks, _, _ = _sim(n, seed=5, max_len=10)
+    sim_t = time.perf_counter() - t0
+    batch = tdata.from_dict(tracks, dtype=np.float32)
+    spec = xp.generate_params(nb_states=2, LocErr_type=1, D_max=1.0,
+                              estimated_Ds=[0.005, 0.05],
+                              estimated_transition_rates=0.08)
+    t0 = time.perf_counter()
+    res = fit.fit(batch, spec, 0.02, 2, cell_dims=(0.5,), window=5,
+                  verbose=0, sharded=len(jax.devices()) > 1)
+    fit_t = time.perf_counter() - t0
+    return {"n_tracks": batch.batch_size, "sim_s": round(sim_t, 2),
+            "fit_s": round(fit_t, 2), "n_evals": res.n_evals,
+            "D1": round(res.params["D1"].value, 5),
+            "logL": round(res.logl, 1)}
+
+
+@timed("model_selection_2to4_states_5k")
+def bench_model_selection(n=5000):
+    from extrack_tpu import auto_fitting
+    tracks, _, _ = _sim(n, seed=6, max_len=10)
+    ms = auto_fitting.model_selection(tracks, 0.02, state_range=(2, 3, 4),
+                                      cell_dims=(0.5,), verbose=0)
+    return {"best": ms.best_nb_states,
+            "bic": {k: round(v, 1) for k, v in ms.bic.items()}}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    print(f"devices: {jax.devices()}", flush=True)
+    bench_fit_fixture()
+    bench_predict_hist(2000 if args.quick else 20000)
+    bench_3state(1000 if args.quick else 5000)
+    bench_refine(1000 if args.quick else 10000)
+    bench_million(quick=args.quick)
+    bench_model_selection(1000 if args.quick else 5000)
+    out = os.path.join(os.path.dirname(__file__), "results.json")
+    with open(out, "w") as fh:
+        json.dump(RESULTS, fh, indent=1)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

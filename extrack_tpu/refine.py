@@ -205,6 +205,121 @@ def refine_positions(positions, lengths, loc_err2, log_trans, sig2_states,
     return jnp.where(valid, mu, 0.0), jnp.where(valid, jnp.sqrt(var), 0.0)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def refine_positions_fixed_states(positions, lengths, loc_err2, sig2_states,
+                                  states):
+    """Refined positions for *known* state sequences (one Gaussian per
+    position, no mixture).  Equivalent of the reference's fixed-Bs variant
+    (get_pos_PDF_fixedBs, refined_localization.py:483-519), typically fed
+    with argmax-of-posterior states.
+
+    states: (B, T) int per-frame state labels.
+    Returns (mu (B,T,D), sigma (B,T,D)).
+    """
+    B, T, D = positions.shape
+    dtype = positions.dtype
+    lengths = lengths.astype(jnp.int32)
+    l2 = jnp.broadcast_to(loc_err2.astype(dtype), (B, T, D))
+    sig2_states = jnp.asarray(sig2_states, dtype)
+    d2 = sig2_states[states]                                # (B, T)
+    sig2_step = 0.5 * (d2[:, :-1] + d2[:, 1:])              # (B, T-1)
+
+    def one_direction(pos, l2_, s2step):
+        # scan over time: emit prior (m, s2) for r_t given x_{<t}
+        m0 = pos[:, 0]
+        s2_0 = l2_[:, 0] + s2step[:, 0][:, None]
+
+        def step(carry, xs):
+            m, s2 = carry
+            x_t, l2_t, sig2_t, live = xs
+            emit = (m, s2)
+            tot = l2_t + s2
+            new_m = (m * l2_t + x_t * s2) / tot
+            new_s2 = sig2_t[:, None] + l2_t * s2 / tot
+            m = jnp.where(live[:, None], new_m, m)
+            s2 = jnp.where(live[:, None], new_s2, s2)
+            return (m, s2), emit
+
+        ts = jnp.arange(1, T)
+        s2pad = jnp.concatenate([s2step, s2step[:, -1:]], axis=1)
+        xs = (jnp.swapaxes(pos[:, 1:], 0, 1), jnp.swapaxes(l2_[:, 1:], 0, 1),
+              s2pad[:, ts].T,
+              jnp.swapaxes(ts[None, :] < (lengths - 1)[:, None], 0, 1))
+        _, (ms, s2s) = jax.lax.scan(step, (m0, s2_0), xs)
+        pad = lambda a: jnp.concatenate(  # noqa: E731
+            [jnp.zeros_like(a[:1]), a], axis=0)
+        return jnp.swapaxes(pad(ms), 0, 1), jnp.swapaxes(pad(s2s), 0, 1)
+
+    pm, ps2 = one_direction(positions, l2, sig2_step)
+    rpos = _reverse_tracks(positions, lengths)
+    rl2 = _reverse_tracks(l2, lengths)
+    rstep = _reverse_tracks(
+        jnp.concatenate([sig2_step, sig2_step[:, -1:]], axis=1), lengths
+    )[:, :-1]
+    sm, ss2 = one_direction(rpos, rl2, rstep)
+    sm = _reverse_tracks(sm, lengths)
+    ss2 = _reverse_tracks(ss2, lengths)
+
+    k_idx = jnp.arange(T)[None, :]
+    first = (k_idx == 0)[..., None]
+    last = (k_idx == lengths[:, None] - 1)[..., None]
+    # precision-weighted product of available terms (obs always present)
+    prec = 1.0 / l2
+    mu_num = positions * prec
+    prec = prec + jnp.where(first, 0.0, 1.0 / jnp.maximum(ps2, 1e-30))
+    mu_num = mu_num + jnp.where(first, 0.0, pm / jnp.maximum(ps2, 1e-30))
+    prec = prec + jnp.where(last, 0.0, 1.0 / jnp.maximum(ss2, 1e-30))
+    mu_num = mu_num + jnp.where(last, 0.0, sm / jnp.maximum(ss2, 1e-30))
+    var = 1.0 / prec
+    mu = mu_num * var
+    valid = (k_idx < lengths[:, None])[..., None]
+    return jnp.where(valid, mu, 0.0), jnp.where(valid, jnp.sqrt(var), 0.0)
+
+
+def save_gifs(all_tracks: Dict[str, np.ndarray],
+              mus: Dict[str, np.ndarray],
+              sigmas: Dict[str, np.ndarray],
+              gif_pathnames: str = "./tracks",
+              nb_pix: int = 200,
+              fps: int = 1,
+              max_tracks: int = 3):
+    """Render per-position refined-position PDFs as animated GIFs.
+
+    Equivalent of save_gifs (refined_localization.py:367-411), drawing the
+    moment-matched Gaussian of each position over the observed track.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import imageio
+    from matplotlib import pyplot as plt
+
+    for key in all_tracks:
+        for i in range(min(len(all_tracks[key]), max_tracks)):
+            track = all_tracks[key][i]
+            mu = mus[key][i]
+            sig = np.broadcast_to(np.asarray(sigmas[key][i]).reshape(
+                len(track), -1)[:, :1], (len(track), 1))
+            lim = np.abs(track - track.mean(0)).max() * 1.2 + 1e-6
+            grid = np.linspace(-lim, lim, nb_pix)
+            frames = []
+            for k in range(len(track)):
+                fig, ax = plt.subplots(figsize=(4, 4))
+                gx = np.exp(-(grid[None, :] - (mu[k, 0] - track[:, 0].mean()))
+                            ** 2 / (2 * sig[k, 0] ** 2))
+                gy = np.exp(-(grid[:, None] - (mu[k, 1] - track[:, 1].mean()))
+                            ** 2 / (2 * sig[k, 0] ** 2))
+                ax.imshow(gy * gx, extent=[-lim, lim, -lim, lim],
+                          origin="lower", cmap="hot")
+                ax.plot(track[:, 0] - track[:, 0].mean(),
+                        track[:, 1] - track[:, 1].mean(), "c.-", lw=0.8)
+                ax.set_title(f"position {k}")
+                fig.canvas.draw()
+                buf = np.asarray(fig.canvas.buffer_rgba())[:, :, :3]
+                frames.append(buf)
+                plt.close(fig)
+            imageio.mimsave(f"{gif_pathnames}{key}_{i}.gif", frames, fps=fps)
+
+
 def position_refinement(all_tracks: Dict[str, np.ndarray],
                         LocErr,
                         ds,
@@ -230,11 +345,13 @@ def position_refinement(all_tracks: Dict[str, np.ndarray],
     if isinstance(LocErr, dict):
         loc_err2 = batch.loc_err ** 2
     else:
-        loc_err2 = jnp.asarray(np.asarray(LocErr, dtype=np.float64) ** 2)
+        loc_err2 = jnp.asarray(np.asarray(LocErr, dtype=np.float64) ** 2,
+                               dtype=batch.positions.dtype)
         while loc_err2.ndim < 3:
             loc_err2 = loc_err2[None]
-    sig2_states = jnp.asarray(np.asarray(ds, dtype=np.float64) ** 2)
-    log_trans = jnp.log(jnp.asarray(TrMat, dtype=jnp.float64))
+    sig2_states = jnp.asarray(np.asarray(ds) ** 2,
+                              dtype=batch.positions.dtype)
+    log_trans = jnp.log(jnp.asarray(TrMat, dtype=batch.positions.dtype))
     mu, sigma = refine_positions(batch.positions, batch.lengths, loc_err2,
                                  log_trans, sig2_states, window=frame_len)
     mus = tdata.to_dict(batch, np.asarray(mu))

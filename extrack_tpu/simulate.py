@@ -31,16 +31,17 @@ def markov_states(rng: np.random.Generator, tr_mat: np.ndarray,
 
     Reference: markovian_process, simulate_tracks.py:11-22.
     """
-    cum_rows = np.cumsum(tr_mat, axis=1)
+    cum_rows = np.cumsum(tr_mat, axis=1).astype(np.float32)
     cum0 = np.cumsum(initial_fractions)
+    S = tr_mat.shape[0]
     states = np.empty((nb_tracks, length), dtype=np.int8)
-    u = rng.random((nb_tracks, length))
+    u = rng.random((nb_tracks, length), dtype=np.float32)
     states[:, 0] = np.searchsorted(cum0, u[:, 0], side="right").clip(
         0, len(cum0) - 1)
     for k in range(1, length):
         rows = cum_rows[states[:, k - 1]]
-        states[:, k] = (u[:, k, None] > rows).sum(axis=1).clip(
-            0, tr_mat.shape[0] - 1)
+        states[:, k] = np.clip(
+            (u[:, k, None] > rows).sum(axis=1, dtype=np.int8), 0, S - 1)
     return states
 
 
@@ -51,17 +52,14 @@ def _sub_transition(tr_mat: np.ndarray, nb_sub_steps: int) -> np.ndarray:
     return sub
 
 
-def _bucket(tracks, states, sigmas, lengths, track_ids=None):
-    out_c: Dict[str, np.ndarray] = {}
-    out_b: Dict[str, np.ndarray] = {}
-    out_s: Dict[str, np.ndarray] = {}
-    for tl in np.unique(lengths):
-        sel = lengths == tl
-        key = str(int(tl))
-        out_c[key] = np.stack([t for t, m in zip(tracks, sel) if m])
-        out_b[key] = np.stack([t for t, m in zip(states, sel) if m])
-        out_s[key] = np.stack([t for t, m in zip(sigmas, sel) if m])
-    return out_c, out_b, out_s
+def _merge_dicts(parts):
+    """Concatenate a list of (tracks, states, sigmas) dict triples."""
+    out = ({}, {}, {})
+    keys = sorted({k for p in parts for k in p[0]}, key=int)
+    for k in keys:
+        for j in range(3):
+            out[j][k] = np.concatenate([p[j][k] for p in parts if k in p[0]])
+    return out
 
 
 def sim_nobias(track_lengths: Sequence[int] = (7, 8, 9, 10, 11),
@@ -116,14 +114,38 @@ def sim_fov(nb_tracks: int = 10000,
             cell_dims: Sequence[Optional[float]] = (0.5, None, None),
             nb_sub_steps: int = 20,
             seed: Optional[int] = None,
-            verbose: bool = False):
+            verbose: bool = False,
+            max_chunk_tracks: int = 200_000):
     """Simulate tracks that enter/leave a bounded FOV and photobleach.
 
     Reference: sim_FOV, simulate_tracks.py:123-244.  Returns (tracks, states,
     sigmas) dicts keyed by track length; sigmas are the per-peak localization
     error stds actually applied (chi-square distributed around LocErr when
-    LocErr_std > 0, simulate_tracks.py:207-209).
+    LocErr_std > 0, simulate_tracks.py:207-209).  Datasets beyond
+    ``max_chunk_tracks`` simulate in memory-bounded chunks.
     """
+    if nb_tracks > max_chunk_tracks:
+        seeds = np.random.SeedSequence(seed).spawn(
+            int(np.ceil(nb_tracks / max_chunk_tracks)))
+        parts = []
+        left = nb_tracks
+        for ss in seeds:
+            n = min(max_chunk_tracks, left)
+            left -= n
+            parts.append(sim_fov(
+                nb_tracks=n, max_track_len=max_track_len,
+                min_track_len=min_track_len, LocErr=LocErr, Ds=Ds,
+                nb_dims=nb_dims, initial_fractions=initial_fractions,
+                TrMat=TrMat, LocErr_std=LocErr_std, dt=dt, pBL=pBL,
+                cell_dims=cell_dims, nb_sub_steps=nb_sub_steps,
+                seed=np.random.default_rng(ss).integers(2 ** 31),
+                verbose=False, max_chunk_tracks=max_chunk_tracks))
+        out = _merge_dicts(parts)
+        if verbose:
+            print("number of tracks:", ", ".join(
+                f"{k} pos: {len(v)}" for k, v in sorted(
+                    out[0].items(), key=lambda kv: int(kv[0]))))
+        return out
     rng = np.random.default_rng(seed)
     Ds = np.asarray(Ds, dtype=np.float64)
     TrMat = np.asarray(TrMat if TrMat is not None
@@ -146,14 +168,15 @@ def sim_fov(nb_tracks: int = 10000,
     # --- all Brownian paths at once (frame-resolution positions) ----------
     states_sub = markov_states(rng, sub, initial_fractions, n_total, L)
     # displacement j-1 -> j is governed by the state at sub-step j-1
-    # (simulate_tracks.py:182)
+    # (simulate_tracks.py:182); float32 throughout — simulation noise
+    # dwarfs rounding
     gov = np.concatenate([states_sub[:, :1], states_sub[:, :-1]], axis=1)
-    steps = rng.normal(size=(n_total, L, 3)) * np.sqrt(
-        2.0 * Ds * sub_dt)[gov][..., None]
-    start = rng.random((n_total, 1, 3)) * 2 * np.where(bounded, cell, 1.0) \
-        - np.where(bounded, cell, 1.0)
+    steps = rng.standard_normal((n_total, L, 3), dtype=np.float32)
+    steps *= np.sqrt(2.0 * Ds * sub_dt).astype(np.float32)[gov][..., None]
+    start = (rng.random((n_total, 1, 3)) * 2 * np.where(bounded, cell, 1.0)
+             - np.where(bounded, cell, 1.0)).astype(np.float32)
     steps[:, 0] = 0.0
-    pos = np.cumsum(steps, axis=1) + start
+    pos = np.cumsum(steps, axis=1, dtype=np.float32) + start
     frame_idx = np.arange(0, L, nb_sub_steps)
     pos = pos[:, frame_idx]                       # (N, T, 3)
     states = states_sub[:, frame_idx]             # (N, T)
@@ -190,27 +213,34 @@ def sim_fov(nb_tracks: int = 10000,
     run_track, run_start, run_len = (run_track[keep], run_start[keep],
                                      run_len[keep])
 
-    # --- per-peak sigmas and measurement noise ----------------------------
-    k_chi = 2.0 / (LocErr_std ** 2 + 1e-20)
-    tracks, bss, sigs = [], [], []
-    for tr, st, ln in zip(run_track, run_start, run_len):
-        sl = slice(st, st + ln)
-        if LocErr_std > 0:
-            sigma = rng.chisquare(k_chi, (ln, 3)) * LocErr / k_chi
-        else:
-            sigma = np.broadcast_to(LocErr, (ln, 3)).copy()
-        noisy = pos[tr, sl] + rng.normal(0, sigma)
-        tracks.append(noisy[:, :nb_dims])
-        bss.append(states[tr, sl])
-        sigs.append(sigma[:, :nb_dims])
-    if not tracks:
+    # --- per-peak sigmas and measurement noise (vectorized per length) ----
+    if len(run_len) == 0:
         raise ValueError("no tracks survived the FOV/bleaching filters")
-    lengths = np.array([len(t) for t in tracks])
+    k_chi = 2.0 / (LocErr_std ** 2 + 1e-20)
+    out_c: Dict[str, np.ndarray] = {}
+    out_b: Dict[str, np.ndarray] = {}
+    out_s: Dict[str, np.ndarray] = {}
     if verbose:
-        uniq, cnt = np.unique(lengths, return_counts=True)
+        uniq, cnt = np.unique(run_len, return_counts=True)
         print("number of tracks:",
               ", ".join(f"{u} pos: {c}" for u, c in zip(uniq, cnt)))
-    return _bucket(tracks, bss, sigs, lengths)
+    for L in np.unique(run_len):
+        sel = run_len == L
+        rows = run_start[sel][:, None] + np.arange(L)[None, :]
+        trk = run_track[sel][:, None]
+        p = pos[trk, rows]                       # (n, L, 3)
+        st = states[trk, rows]                   # (n, L)
+        if LocErr_std > 0:
+            sigma = (rng.chisquare(k_chi, p.shape).astype(np.float32)
+                     * (LocErr / k_chi).astype(np.float32))
+        else:
+            sigma = np.broadcast_to(LocErr.astype(np.float32), p.shape)
+        noisy = p + rng.standard_normal(p.shape, dtype=np.float32) * sigma
+        key = str(int(L))
+        out_c[key] = noisy[:, :, :nb_dims]
+        out_b[key] = st
+        out_s[key] = sigma[:, :, :nb_dims]
+    return out_c, out_b, out_s
 
 
 def brownian_frames(key, nb_tracks: int, track_len: int, Ds, Fs, tr_mat,

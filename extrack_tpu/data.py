@@ -152,6 +152,57 @@ def from_dict(all_tracks: Dict[str, np.ndarray],
     )
 
 
+def from_dict_bucketed(all_tracks: Dict[str, np.ndarray],
+                       max_buckets: int = 4,
+                       **kw) -> list:
+    """Split a length-keyed dict into a few padded TrackBatches so short
+    tracks don't pay the longest track's scan length.
+
+    Bucket edges are chosen greedily to minimize total padded work
+    (sum over buckets of n_tracks * bucket_max_len).  The ``is_bleached``
+    convention stays global: only tracks at the DATASET maximum length are
+    censored (extrack/tracking.py:1037-1040).
+    """
+    lens = sorted(int(k) for k in all_tracks if len(all_tracks[k]) > 0)
+    if not lens:
+        raise ValueError("No tracks found. The loaded tracks seem empty.")
+    counts = {l: len(all_tracks[str(l)]) for l in lens}
+    data_max = max(lens)
+
+    # dynamic programming over bucket boundaries (few distinct lengths)
+    best: Dict[int, tuple] = {0: (0.0, [])}
+    for j in range(1, len(lens) + 1):
+        options = []
+        for i in range(max(0, j - 32), j):
+            if i not in best:
+                continue
+            cost_prev, cuts = best[i]
+            if len(cuts) >= max_buckets - (0 if j == len(lens) else 1):
+                continue
+            width = lens[j - 1]
+            cost = cost_prev + sum(counts[l] for l in lens[i:j]) * width
+            options.append((cost, cuts + [j]))
+        if options:
+            best[j] = min(options, key=lambda t: t[0])
+    cuts = best[len(lens)][1]
+
+    batches = []
+    start = 0
+    for end in cuts:
+        group = {str(l): all_tracks[str(l)] for l in lens[start:end]}
+        sub_kw = dict(kw)
+        for name in ("input_loc_err", "frames", "dt"):
+            if kw.get(name) is not None:
+                sub_kw[name] = {k: kw[name][k] for k in group}
+        batch = from_dict(group, **sub_kw)
+        # global censoring convention
+        batch.is_bleached = jnp.asarray(
+            np.where(np.asarray(batch.lengths) == data_max, 0.0, 1.0))
+        batches.append(batch)
+        start = end
+    return batches
+
+
 def to_dict(batch: TrackBatch, values: Optional[np.ndarray] = None
             ) -> Dict[str, np.ndarray]:
     """Regroup a padded batch (or per-track ``values`` aligned with it) into

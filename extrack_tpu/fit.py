@@ -52,7 +52,7 @@ class FitResult:
         return "\n".join(lines)
 
 
-def make_objective(batch: tdata.TrackBatch,
+def make_objective(batch,
                    spec: tparams.Parameters,
                    dt,
                    nb_states: int,
@@ -65,36 +65,38 @@ def make_objective(batch: tdata.TrackBatch,
                    sharded: bool = False) -> Callable:
     """Build -logL(z) over unconstrained free-parameter vector z.
 
+    ``batch`` is a TrackBatch or a list of them (length buckets from
+    data.from_dict_bucketed); bucket contributions sum inside one jit.
     Mirrors cum_Proba_Cs (extrack/tracking.py:991-1088): parameter extraction
     happens inside the objective so its gradient flows; ``min_len`` defaults
-    to the shortest track length present (tracking.py:1009).
+    to the shortest track length present in the dataset (tracking.py:1009).
     """
+    batches = batch if isinstance(batch, (list, tuple)) else [batch]
     if min_len is None:
-        lens = np.asarray(batch.lengths)
+        lens = np.concatenate([np.asarray(b.lengths) for b in batches])
         min_len = int(lens[lens >= 2].min()) if (lens >= 2).any() else 2
-
-    loc_err_input = batch.loc_err if input_loc_err else None
-    if batch.dt is not None:
-        dt_arr = batch.dt
-    else:
-        dt_arr = jnp.asarray(dt)
 
     def neg_logl(z):
         values = spec.resolve(spec.from_unconstrained(z))
-        Ds, Fs, rates, loc_err, pBL = tparams.extract_arrays(
-            values, nb_states, input_loc_err=loc_err_input)
-        tb = tables.build_tables(Ds, loc_err, Fs, rates, pBL, dt_arr,
-                                 cell_dims=cell_dims,
-                                 nb_substeps=nb_substeps,
-                                 matrix_type=matrix_type)
-        if sharded:
-            total = pmesh.sharded_log_likelihood(
-                batch, tb, window=window, nb_substeps=nb_substeps,
-                min_len=min_len)
-        else:
-            total = jnp.sum(engine.forward(
-                batch.positions, batch.lengths, batch.is_bleached, tb,
-                window=window, nb_substeps=nb_substeps, min_len=min_len))
+        total = 0.0
+        for b in batches:
+            loc_err_input = b.loc_err if input_loc_err else None
+            Ds, Fs, rates, loc_err, pBL = tparams.extract_arrays(
+                values, nb_states, input_loc_err=loc_err_input)
+            dt_arr = b.dt if b.dt is not None else jnp.asarray(dt)
+            tb = tables.build_tables(Ds, loc_err, Fs, rates, pBL, dt_arr,
+                                     cell_dims=cell_dims,
+                                     nb_substeps=nb_substeps,
+                                     matrix_type=matrix_type)
+            if sharded:
+                total = total + pmesh.sharded_log_likelihood(
+                    b, tb, window=window, nb_substeps=nb_substeps,
+                    min_len=min_len)
+            else:
+                total = total + jnp.sum(engine.forward(
+                    b.positions, b.lengths, b.is_bleached, tb,
+                    window=window, nb_substeps=nb_substeps,
+                    min_len=min_len))
         return -total
 
     return neg_logl
@@ -233,7 +235,9 @@ def param_fitting(all_tracks,
                   threshold: float = 0.2,
                   max_nb_states: int = 120,
                   compute_errors: bool = False,
-                  sharded: bool = False) -> FitResult:
+                  sharded: bool = False,
+                  length_buckets: int = 4,
+                  **fit_kwargs) -> FitResult:
     """Drop-in style equivalent of the reference param_fitting
     (extrack/tracking.py:1299-1387).
 
@@ -249,11 +253,14 @@ def param_fitting(all_tracks,
             nb_states=nb_states, LocErr_type=1, LocErr_bounds=(0.005, 0.1),
             D_max=3.0, estimated_transition_rates=0.1,
             steady_state=steady_state)
-    batch = tdata.from_dict(all_tracks, input_loc_err=input_LocErr,
-                            dt=dt if isinstance(dt, dict) else None)
+    batch = tdata.from_dict_bucketed(
+        all_tracks, max_buckets=max(1, length_buckets),
+        input_loc_err=input_LocErr,
+        dt=dt if isinstance(dt, dict) else None)
     return fit(batch, params,
                dt if not isinstance(dt, dict) else 0.0, nb_states,
                cell_dims=cell_dims, nb_substeps=nb_substeps,
                window=frame_len, matrix_type=Matrix_type, method=method,
                verbose=verbose, input_loc_err=input_LocErr is not None,
-               compute_errors=compute_errors, sharded=sharded)
+               compute_errors=compute_errors, sharded=sharded,
+               **fit_kwargs)

@@ -111,6 +111,11 @@ def extrack_2_matrix(all_tracks, pred_Bs, dt, all_frames=None) -> np.ndarray:
     return df.to_numpy(dtype=np.float64)
 
 
+# the reference ships two implementations of the same flattening
+# (exporters.py:58 and :105); one suffices here
+extrack_2_pandas2 = extrack_2_pandas
+
+
 def save_extrack_2_CSV(path, all_tracks, pred_Bss, dt, all_frames=None):
     """CSV with TRACK_ID, 3D positions, time, frame and per-state
     predictions.  Reference: exporters.py:152-177."""

@@ -320,6 +320,58 @@ def save_gifs(all_tracks: Dict[str, np.ndarray],
             imageio.mimsave(f"{gif_pathnames}{key}_{i}.gif", frames, fps=fps)
 
 
+def full_extrack_2_matrix(all_tracks, params, dt, all_frames=None,
+                          cell_dims=(1.0, None, None), nb_states: int = 2,
+                          frame_len: int = 15):
+    """Predict states, refine positions, and flatten everything into one
+    matrix [x, y, frame, track_id, pred_0.., x_ref, y_ref, sigma].
+
+    Reference: full_extrack_2_matrix, refined_localization.py:536-549.
+    """
+    from extrack_tpu import params as tparams, predict
+    from extrack_tpu.core import tables as ttables
+    from extrack_tpu.io import exporters
+    preds = predict.predict_Bs(all_tracks, dt, params,
+                               cell_dims=cell_dims, nb_states=nb_states,
+                               frame_len=min(frame_len, 8))
+    vals = (params.resolve() if hasattr(params, "resolve") else params)
+    Ds, Fs, rates, loc_err, _ = tparams.extract_arrays(vals, nb_states)
+    tr = np.asarray(ttables.transition_matrix(rates))
+    ds = np.sqrt(2.0 * np.asarray(Ds) * dt)
+    mus, sigmas = position_refinement(
+        all_tracks, float(np.asarray(loc_err).ravel()[0]), ds,
+        np.asarray(Fs), tr, frame_len=frame_len // 2 + 3)
+    df = exporters.extrack_2_pandas(all_tracks, preds, frames=all_frames)
+    ref_x, ref_y, sig = [], [], []
+    for k in all_tracks:
+        ref_x.append(mus[k][:, :, 0].reshape(-1))
+        ref_y.append(mus[k][:, :, 1].reshape(-1))
+        sig.append(np.asarray(sigmas[k]).reshape(-1))
+    df["X_REFINED"] = np.concatenate(ref_x)
+    df["Y_REFINED"] = np.concatenate(ref_y)
+    df["SIGMA_REFINED"] = np.concatenate(sig)
+    return df
+
+
+def do_gifs_from_params(all_tracks, params, dt, gif_pathnames="./tracks",
+                        frame_len: int = 7, nb_states: int = 2,
+                        nb_pix: int = 200, fps: int = 1,
+                        max_tracks: int = 3):
+    """Refine and render per-position PDF GIFs straight from fitted params.
+    Reference: do_gifs_from_params, refined_localization.py:562-566."""
+    from extrack_tpu import params as tparams
+    from extrack_tpu.core import tables as ttables
+    vals = (params.resolve() if hasattr(params, "resolve") else params)
+    Ds, Fs, rates, loc_err, _ = tparams.extract_arrays(vals, nb_states)
+    tr = np.asarray(ttables.transition_matrix(rates))
+    ds = np.sqrt(2.0 * np.asarray(Ds) * dt)
+    mus, sigmas = position_refinement(
+        all_tracks, float(np.asarray(loc_err).ravel()[0]), ds,
+        np.asarray(Fs), tr, frame_len=frame_len)
+    save_gifs(all_tracks, mus, sigmas, gif_pathnames=gif_pathnames,
+              nb_pix=nb_pix, fps=fps, max_tracks=max_tracks)
+
+
 def position_refinement(all_tracks: Dict[str, np.ndarray],
                         LocErr,
                         ds,

@@ -232,6 +232,12 @@ def len_hist(all_tracks: Dict[str, np.ndarray],
         raise NotImplementedError("histograms support nb_substeps=1")
     batch = tdata.from_dict(all_tracks, input_loc_err=input_LocErr,
                             dt=dt if isinstance(dt, dict) else None)
+    chunk = 8192
+    if batch.batch_size > chunk:
+        batch = batch.pad_batch_to(
+            int(np.ceil(batch.batch_size / chunk)) * chunk)
+        if batch.loc_err is not None:
+            batch.loc_err = jnp.where(batch.loc_err > 0, batch.loc_err, 1.0)
     values = (params.resolve()
               if isinstance(params, tparams.Parameters) else params)
     Ds, Fs, rates, loc_err, pBL = tparams.extract_arrays(
@@ -245,9 +251,19 @@ def len_hist(all_tracks: Dict[str, np.ndarray],
     min_len = int(lens[lens >= 2].min()) if (lens >= 2).any() else 2
     # round the register up to a lane-friendly multiple of 128
     M = max(int(np.ceil(max_nb_states / 128)) * 128, 128)
-    hist = segment_histogram(batch.positions, batch.lengths,
-                             batch.is_bleached, tb,
-                             max_nb_states=M, min_len=min_len)
+    # the histogram scan carries (M, T) sequences per track: chunk large
+    # batches (the reference chunks at 50 tracks, histograms.py:338)
+    per_peak = tb.loc_err2.shape[0] > 1
+    hist = None
+    for c in range(int(np.ceil(batch.batch_size / chunk))):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        tb_c = tb._replace(
+            loc_err2=tb.loc_err2[sl] if per_peak else tb.loc_err2,
+            sig2=tb.sig2[sl] if tb.sig2.ndim == 3 else tb.sig2)
+        h = segment_histogram(batch.positions[sl], batch.lengths[sl],
+                              batch.is_bleached[sl], tb_c,
+                              max_nb_states=M, min_len=min_len)
+        hist = h if hist is None else hist + h
     return np.asarray(hist)
 
 

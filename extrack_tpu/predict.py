@@ -27,11 +27,30 @@ def predict_batch(batch: tdata.TrackBatch,
                   window: int = 5,
                   min_len: Optional[int] = None,
                   matrix_type: int = 1,
-                  input_loc_err: bool = False):
-    """(logl (B,), preds (B, T, S)) for a TrackBatch."""
+                  input_loc_err: bool = False,
+                  chunk_size: int = 16384):
+    """(logl (B,), preds (B, T, S)) for a TrackBatch.
+
+    The posterior scan carries per-track history (~K*T*S floats per track in
+    fast memory), so large batches process in ``chunk_size`` chunks — one
+    compiled program reused across chunks (vs the reference's nb_max=1
+    single-track chunks, extrack/tracking.py:803).
+    """
     values = (spec_or_values.resolve()
               if isinstance(spec_or_values, tparams.Parameters)
               else spec_or_values)
+    if min_len is None:
+        lens = np.asarray(batch.lengths)
+        min_len = int(lens[lens >= 2].min()) if (lens >= 2).any() else 2
+
+    B = batch.batch_size
+    if B > chunk_size:
+        # pad to a chunk multiple so every chunk reuses one compilation
+        batch = batch.pad_batch_to(int(np.ceil(B / chunk_size))
+                                   * chunk_size)
+        if batch.loc_err is not None:
+            # keep padded per-peak errors positive
+            batch.loc_err = jnp.where(batch.loc_err > 0, batch.loc_err, 1.0)
     Ds, Fs, rates, loc_err, pBL = tparams.extract_arrays(
         values, nb_states,
         input_loc_err=batch.loc_err if input_loc_err else None)
@@ -39,12 +58,27 @@ def predict_batch(batch: tdata.TrackBatch,
     tb = tables.build_tables(Ds, loc_err, Fs, rates, pBL, dt_arr,
                              cell_dims=cell_dims, nb_substeps=1,
                              matrix_type=matrix_type)
-    if min_len is None:
-        lens = np.asarray(batch.lengths)
-        min_len = int(lens[lens >= 2].min()) if (lens >= 2).any() else 2
-    return engine.forward(batch.positions, batch.lengths, batch.is_bleached,
-                          tb, window=window, nb_substeps=1, min_len=min_len,
-                          return_preds=True)
+    if B <= chunk_size:
+        return engine.forward(batch.positions, batch.lengths,
+                              batch.is_bleached, tb, window=window,
+                              nb_substeps=1, min_len=min_len,
+                              return_preds=True)
+    padded = batch
+    n_chunks = padded.batch_size // chunk_size
+    per_peak = tb.loc_err2.shape[0] > 1
+    logls, preds = [], []
+    for c in range(n_chunks):
+        sl = slice(c * chunk_size, (c + 1) * chunk_size)
+        tb_c = tb._replace(
+            loc_err2=tb.loc_err2[sl] if per_peak else tb.loc_err2,
+            sig2=tb.sig2[sl] if tb.sig2.ndim == 3 else tb.sig2)
+        out = engine.forward(padded.positions[sl], padded.lengths[sl],
+                             padded.is_bleached[sl], tb_c, window=window,
+                             nb_substeps=1, min_len=min_len,
+                             return_preds=True)
+        logls.append(out[0])
+        preds.append(out[1])
+    return (jnp.concatenate(logls)[:B], jnp.concatenate(preds)[:B])
 
 
 def predict_Bs(all_tracks: Dict[str, np.ndarray],

@@ -394,6 +394,15 @@ def position_refinement(all_tracks: Dict[str, np.ndarray],
     batch = tdata.from_dict(
         all_tracks,
         input_loc_err=LocErr if isinstance(LocErr, dict) else None)
+    # the pairwise prefix x suffix mixture is O(K^2/S) per position: chunk
+    # the batch so intermediates stay bounded
+    chunk = max(256, (1 << 22) // (batch.max_len *
+                                   max(1, 2 ** (2 * frame_len - 3))))
+    if batch.batch_size > chunk:
+        batch = batch.pad_batch_to(
+            int(np.ceil(batch.batch_size / chunk)) * chunk)
+        if batch.loc_err is not None:
+            batch.loc_err = jnp.where(batch.loc_err > 0, batch.loc_err, 1.0)
     if isinstance(LocErr, dict):
         loc_err2 = batch.loc_err ** 2
     else:
@@ -404,8 +413,18 @@ def position_refinement(all_tracks: Dict[str, np.ndarray],
     sig2_states = jnp.asarray(np.asarray(ds) ** 2,
                               dtype=batch.positions.dtype)
     log_trans = jnp.log(jnp.asarray(TrMat, dtype=batch.positions.dtype))
-    mu, sigma = refine_positions(batch.positions, batch.lengths, loc_err2,
-                                 log_trans, sig2_states, window=frame_len)
-    mus = tdata.to_dict(batch, np.asarray(mu))
-    sigmas = tdata.to_dict(batch, np.asarray(sigma[..., 0]))
+    per_peak = isinstance(LocErr, dict)
+    mu_parts, sig_parts = [], []
+    for c in range(int(np.ceil(batch.batch_size / chunk))):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        mu_c, sig_c = refine_positions(
+            batch.positions[sl], batch.lengths[sl],
+            loc_err2[sl] if per_peak else loc_err2,
+            log_trans, sig2_states, window=frame_len)
+        mu_parts.append(np.asarray(mu_c))
+        sig_parts.append(np.asarray(sig_c))
+    mu = np.concatenate(mu_parts)
+    sigma = np.concatenate(sig_parts)
+    mus = tdata.to_dict(batch, mu)
+    sigmas = tdata.to_dict(batch, sigma[..., 0])
     return mus, sigmas

@@ -119,13 +119,20 @@ def fit(batch: tdata.TrackBatch,
         sharded: bool = False,
         callback=None,
         checkpoint_path: Optional[str] = None,
-        resume: bool = True) -> FitResult:
+        resume: bool = True,
+        n_starts: int = 1,
+        start_scale: float = 1.0,
+        seed: int = 0) -> FitResult:
     """Fit the free parameters of ``spec`` to a TrackBatch.
 
     callback: called as ``callback(n_eval, objective, values)`` per
         evaluation (see utils.observe.FitRecorder).
     checkpoint_path: JSON checkpoint written on every improvement; with
         ``resume=True`` an existing checkpoint warm-starts the fit.
+    n_starts: multi-start optimization — run L-BFGS from the given initial
+        values plus ``n_starts-1`` perturbed restarts (scale ``start_scale``
+        in unconstrained space) and keep the best optimum.  Multi-state
+        likelihoods are multi-modal; the reference has no equivalent guard.
     """
     if checkpoint_path and resume:
         from extrack_tpu.utils.observe import CheckpointManager
@@ -172,6 +179,15 @@ def fit(batch: tdata.TrackBatch,
     t0 = time.time()
     res = scipy.optimize.minimize(fun, z0, jac=True, method=method,
                                   options={"maxiter": max_iter})
+    if n_starts > 1:
+        rng = np.random.default_rng(seed)
+        for _ in range(n_starts - 1):
+            z_try = z0 + rng.normal(0, start_scale, z0.shape)
+            alt = scipy.optimize.minimize(fun, z_try, jac=True,
+                                          method=method,
+                                          options={"maxiter": max_iter})
+            if np.isfinite(alt.fun) and alt.fun < res.fun:
+                res = alt
     if verbose:
         print(f"fit: {n_evals[0]} evaluations in {time.time() - t0:.2f}s")
 

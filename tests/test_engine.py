@@ -165,6 +165,21 @@ def test_posteriors_exact_window():
         assert np.all(np.asarray(preds[i][lengths[i]:]) == 0.0)
 
 
+def test_three_dims_exact_window():
+    rng = np.random.default_rng(11)
+    Ds, Fs = np.array([0.0, 0.1]), np.array([0.4, 0.6])
+    rates = np.array([[0.0, 0.1], [0.15, 0.0]])
+    xs, _ = _sim_tracks(rng, 3, 5, 3, Ds, np.array([[.9, .1], [.15, .85]]),
+                        Fs, 0.02, 0.02)
+    # per-dim localization error (x/y shared, z larger)
+    loc_err = np.array([0.02, 0.02, 0.05])
+    lengths = np.full(3, 5)
+    isbl = np.ones(3)
+    got, want = _run_both(xs, lengths, isbl, Ds, Fs, rates, loc_err, 0.02,
+                          0.1, (0.5, 3.0), n=1, W=5, min_len=3)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
 def test_gradients_finite():
     rng = np.random.default_rng(10)
     Ds, Fs = np.array([0.0, 0.1]), np.array([0.4, 0.6])

@@ -75,6 +75,10 @@ def make_objective(batch,
     if min_len is None:
         lens = np.concatenate([np.asarray(b.lengths) for b in batches])
         min_len = int(lens[lens >= 2].min()) if (lens >= 2).any() else 2
+    mesh = None
+    if sharded:
+        mesh = pmesh.make_mesh()
+        batches = [pmesh.shard_batch(b, mesh) for b in batches]
 
     def neg_logl(z):
         values = spec.resolve(spec.from_unconstrained(z))
@@ -91,7 +95,7 @@ def make_objective(batch,
             if sharded:
                 total = total + pmesh.sharded_log_likelihood(
                     b, tb, window=window, nb_substeps=nb_substeps,
-                    min_len=min_len)
+                    min_len=min_len, mesh=mesh)
             else:
                 total = total + jnp.sum(engine.forward(
                     b.positions, b.lengths, b.is_bleached, tb,

@@ -16,7 +16,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from extrack_tpu import data as tdata
+
 from extrack_tpu import fit as tfit
 from extrack_tpu import params as tparams
 

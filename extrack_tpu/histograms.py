@@ -34,7 +34,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import logsumexp
+
 
 from extrack_tpu import data as tdata
 from extrack_tpu import params as tparams

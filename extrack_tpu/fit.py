@@ -62,7 +62,8 @@ def make_objective(batch,
                    min_len: Optional[int] = None,
                    matrix_type: int = 1,
                    input_loc_err: bool = False,
-                   sharded: bool = False) -> Callable:
+                   sharded: bool = False,
+                   compute_engine: str = "auto") -> Callable:
     """Build -logL(z) over unconstrained free-parameter vector z.
 
     ``batch`` is a TrackBatch or a list of them (length buckets from
@@ -70,6 +71,9 @@ def make_objective(batch,
     Mirrors cum_Proba_Cs (extrack/tracking.py:991-1088): parameter extraction
     happens inside the objective so its gradient flows; ``min_len`` defaults
     to the shortest track length present in the dataset (tracking.py:1009).
+
+    compute_engine: 'auto' uses the Pallas custom-VJP kernel for value and
+    gradient on TPU (constant dt, unsharded); 'xla' / 'pallas' force a path.
     """
     batches = batch if isinstance(batch, (list, tuple)) else [batch]
     if min_len is None:
@@ -79,6 +83,12 @@ def make_objective(batch,
     if sharded:
         mesh = pmesh.make_mesh()
         batches = [pmesh.shard_batch(b, mesh) for b in batches]
+
+    if compute_engine == "auto":
+        use_pallas = (jax.default_backend() == "tpu" and not sharded
+                      and all(b.dt is None for b in batches))
+    else:
+        use_pallas = compute_engine == "pallas"
 
     def neg_logl(z):
         values = spec.resolve(spec.from_unconstrained(z))
@@ -96,6 +106,12 @@ def make_objective(batch,
                 total = total + pmesh.sharded_log_likelihood(
                     b, tb, window=window, nb_substeps=nb_substeps,
                     min_len=min_len, mesh=mesh)
+            elif use_pallas:
+                from extrack_tpu.ops import pallas_grad
+                total = total - pallas_grad.neg_log_likelihood(
+                    b.positions, b.lengths, b.is_bleached, tb,
+                    window=window, nb_substeps=nb_substeps,
+                    min_len=min_len, block=256)
             else:
                 total = total + jnp.sum(engine.forward(
                     b.positions, b.lengths, b.is_bleached, tb,
@@ -126,7 +142,8 @@ def fit(batch: tdata.TrackBatch,
         resume: bool = True,
         n_starts: int = 1,
         start_scale: float = 1.0,
-        seed: int = 0) -> FitResult:
+        seed: int = 0,
+        compute_engine: str = "auto") -> FitResult:
     """Fit the free parameters of ``spec`` to a TrackBatch.
 
     callback: called as ``callback(n_eval, objective, values)`` per
@@ -146,7 +163,7 @@ def fit(batch: tdata.TrackBatch,
             spec.set_values(state["values"])
     neg_logl = make_objective(batch, spec, dt, nb_states, cell_dims,
                               nb_substeps, window, min_len, matrix_type,
-                              input_loc_err, sharded)
+                              input_loc_err, sharded, compute_engine)
     vg = jax.jit(jax.value_and_grad(neg_logl))
     z0 = spec.to_unconstrained()
     history = []
@@ -202,7 +219,13 @@ def fit(batch: tdata.TrackBatch,
 
     std_errors = None
     if compute_errors:
-        std_errors = fisher_errors(neg_logl, fitted, res.x)
+        # the Hessian needs second-order AD, which the Pallas custom-VJP
+        # path doesn't provide — use the XLA objective at the optimum
+        neg_logl_x = make_objective(batch, spec, dt, nb_states, cell_dims,
+                                    nb_substeps, window, min_len,
+                                    matrix_type, input_loc_err, sharded,
+                                    "xla")
+        std_errors = fisher_errors(neg_logl_x, fitted, res.x)
 
     return FitResult(params=fitted, logl=-float(res.fun),
                      success=bool(res.success), n_evals=n_evals[0],

@@ -1,0 +1,285 @@
+"""Pallas TPU kernel for likelihood *gradients* (custom VJP).
+
+The XLA reverse pass of the scan engine re-materializes per-step carries and
+intermediates through HBM; this kernel runs the whole forward recursion with
+per-step carries checkpointed in VMEM, then walks the steps backwards
+applying per-step pullbacks (``jax.vjp`` of the pure step function, traced
+inside the kernel) — HBM traffic is the inputs plus one cotangent array.
+
+Exposed as ``neg_log_likelihood`` with a ``jax.custom_vjp``: differentiable
+inputs are the per-slot table vectors (init prior, displacement variances,
+transition chain, survival, end term) and the localization-error variance
+array; everything upstream (physical parameters -> tables) is plain XLA, so
+``jax.grad`` of a fit objective composes through unchanged.
+
+Scope: float32, constant dt (same envelope as ops/pallas_engine); the fit
+driver falls back to the XLA engine outside it.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from extrack_tpu.core.tables import ModelTables
+from extrack_tpu.ops.pallas_engine import build_slot_tables
+
+_TINY = 1e-30
+
+
+def _tile(x, A):
+    """Differentiable tile along the sublane axis ([x; x; ...] A times)."""
+    return x if A == 1 else jnp.concatenate([x] * A, axis=0)
+
+# module-level switch for interpreter-mode testing on CPU
+INTERPRET = False
+
+
+def _make_step(D, K, A, G, min_len):
+    """Pure per-frame update shared by the in-kernel forward and backward.
+
+    carry: (m (D,K,BLK), s2 (D,K,BLK), lp (K,BLK), acc (1,BLK)).
+    Mirrors ops/pallas_engine._kernel's body exactly.
+    """
+
+    def step(carry, x, l2, t, lengths, isbl, ltv, lsv, endv, s2v):
+        m, s2, lp, acc = carry
+        lc = jnp.zeros(lp.shape, lp.dtype)
+        new_m, tail = [], []
+        for d in range(D):
+            tot = l2[d] + s2[d]
+            inv = 1.0 / tot
+            diff = x[d] - m[d]
+            lc = lc + (-0.5 * jnp.log(2 * np.pi * tot)
+                       - 0.5 * diff * diff * inv)
+            new_m.append((m[d] * l2[d] + x[d] * s2[d]) * inv)
+            tail.append(l2[d] * s2[d] * inv)
+
+        fin = lp + isbl * endv + lc
+        mx = jax.lax.stop_gradient(jnp.max(fin, axis=0, keepdims=True))
+        lse = mx + jnp.log(jnp.sum(jnp.exp(fin - mx), axis=0, keepdims=True))
+        acc = acc + jnp.where((t == lengths - 1)[None, :], lse, 0.0)
+
+        score3 = (lp + lc).reshape(G, A, -1)
+        mxs = jax.lax.stop_gradient(jnp.max(score3, axis=1))
+        w = [jnp.exp(score3[:, o] - mxs) for o in range(A)]
+        sw = w[0]
+        for o in range(1, A):
+            sw = sw + w[o]
+        inv_sw = 1.0 / jnp.maximum(sw, _TINY)
+        lp_f = mxs + jnp.log(jnp.maximum(sw, _TINY))
+
+        keep = (t < lengths - 1)[None, :]
+        gate = jnp.where(t + 1 >= min_len, 1.0, 0.0).astype(lp.dtype)
+        m_out, s2_out = [], []
+        for d in range(D):
+            nm3 = new_m[d].reshape(G, A, -1)
+            tl3 = tail[d].reshape(G, A, -1)
+            m_f = w[0] * nm3[:, 0]
+            t_f = w[0] * tl3[:, 0]
+            for o in range(1, A):
+                m_f = m_f + w[o] * nm3[:, o]
+                t_f = t_f + w[o] * tl3[:, o]
+            m_f = m_f * inv_sw
+            t_f = t_f * inv_sw
+            m_out.append(jnp.where(keep, _tile(m_f, A), m[d]))
+            s2_out.append(jnp.where(keep,
+                                    s2v + _tile(t_f, A),
+                                    s2[d]))
+        lp_new = _tile(lp_f, A) + ltv + gate * lsv
+        lp_out = jnp.where(keep, lp_new, lp)
+        return (jnp.stack(m_out), jnp.stack(s2_out), lp_out, acc)
+
+    return step
+
+
+def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
+                 ltv_ref, lsv_ref, endv_ref, s2v_ref,
+                 logl_ref, ct_l2_ref, ct_lp0_ref, ct_s20_ref, ct_ltv_ref,
+                 ct_lsv_ref, ct_endv_ref, ct_s2v_ref,
+                 mh, s2h, lph,
+                 *, T, D, K, A, G, BLK, min_len):
+    lengths = len_ref[0, :].astype(jnp.int32)
+    isbl = isbl_ref[0, :][None, :]
+    step = _make_step(D, K, A, G, min_len)
+    ltv, lsv, endv, s2v = (ltv_ref[:], lsv_ref[:], endv_ref[:], s2v_ref[:])
+
+    def read_td(ref, t):
+        return jnp.stack([ref[pl.ds(t * D + d, 1), :] for d in range(D)])
+
+    # ---- forward, checkpointing the carry per step ------------------------
+    m = jnp.stack([jnp.broadcast_to(xs_ref[pl.ds(d, 1), :], (K, BLK))
+                   for d in range(D)])
+    s2 = jnp.stack([l2_ref[pl.ds(d, 1), :] + s20_ref[:] for d in range(D)])
+    lp = jnp.broadcast_to(lp0_ref[:], (K, BLK))
+    acc = jnp.zeros((1, BLK), jnp.float32)
+
+    def fwd_body(t, carry):
+        m, s2, lp, acc = carry
+        mh[pl.ds(t - 1, 1)] = m[None]
+        s2h[pl.ds(t - 1, 1)] = s2[None]
+        lph[pl.ds(t - 1, 1)] = lp[None]
+        return step(carry, read_td(xs_ref, t), read_td(l2_ref, t), t,
+                    lengths, isbl, ltv, lsv, endv, s2v)
+
+    m, s2, lp, acc = jax.lax.fori_loop(1, T, fwd_body, (m, s2, lp, acc))
+    logl_ref[:] = acc
+
+    # ---- backward: per-step pullbacks -------------------------------------
+    zK = jnp.zeros((K, 1), jnp.float32)
+    ones_acc = jnp.ones((1, BLK), jnp.float32)
+
+    def bwd_body(i, ct):
+        t = T - 1 - i
+        ct_m, ct_s2, ct_lp, ct_ltv, ct_lsv, ct_endv, ct_s2v = ct
+        carry_t = (mh[pl.ds(t - 1, 1)][0], s2h[pl.ds(t - 1, 1)][0],
+                   lph[pl.ds(t - 1, 1)][0],
+                   jnp.zeros((1, BLK), jnp.float32))
+        x = read_td(xs_ref, t)
+        l2 = read_td(l2_ref, t)
+
+        def f(carry, l2_, ltv_, lsv_, endv_, s2v_):
+            return step(carry, x, l2_, t, lengths, isbl, ltv_, lsv_, endv_,
+                        s2v_)
+
+        _, pull = jax.vjp(f, carry_t, l2, ltv, lsv, endv, s2v)
+        d_carry, d_l2, d_ltv, d_lsv, d_endv, d_s2v = pull(
+            (ct_m, ct_s2, ct_lp, ones_acc))
+        for d in range(D):
+            ct_l2_ref[pl.ds(t * D + d, 1), :] = d_l2[d]
+        return (d_carry[0], d_carry[1], d_carry[2],
+                ct_ltv + d_ltv, ct_lsv + d_lsv, ct_endv + d_endv,
+                ct_s2v + d_s2v)
+
+    ct0 = (jnp.zeros((D, K, BLK), jnp.float32),
+           jnp.zeros((D, K, BLK), jnp.float32),
+           jnp.zeros((K, BLK), jnp.float32),
+           zK, zK, zK, zK)
+    ct = jax.lax.fori_loop(0, T - 1, bwd_body, ct0)
+    ct_s2, ct_lp = ct[1], ct[2]
+
+    # ---- init pullback: m0=x0 (no param), s2_0=l2_0+s20, lp_0=lp0 ----------
+    for d in range(D):
+        ct_l2_ref[pl.ds(d, 1), :] = jnp.sum(ct_s2[d], axis=0, keepdims=True)
+    ct_lp0 = jnp.sum(ct_lp, axis=1, keepdims=True)
+    sum_s2 = ct_s2[0]
+    for d in range(1, D):
+        sum_s2 = sum_s2 + ct_s2[d]
+    ct_s20 = jnp.sum(sum_s2, axis=1, keepdims=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        ct_lp0_ref[:] = jnp.zeros((K, 1), jnp.float32)
+        ct_s20_ref[:] = jnp.zeros((K, 1), jnp.float32)
+        ct_ltv_ref[:] = jnp.zeros((K, 1), jnp.float32)
+        ct_lsv_ref[:] = jnp.zeros((K, 1), jnp.float32)
+        ct_endv_ref[:] = jnp.zeros((K, 1), jnp.float32)
+        ct_s2v_ref[:] = jnp.zeros((K, 1), jnp.float32)
+
+    ct_lp0_ref[:] += ct_lp0
+    ct_s20_ref[:] += ct_s20
+    ct_ltv_ref[:] += ct[3]
+    ct_lsv_ref[:] += ct[4]
+    ct_endv_ref[:] += ct[5]
+    ct_s2v_ref[:] += ct[6]
+
+
+def _grad_call(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
+               s2v):
+    T, D, K, A, G, BLK, min_len = static
+    Bp = xs.shape[1]
+    kernel = functools.partial(_grad_kernel, T=T, D=D, K=K, A=A, G=G,
+                               BLK=BLK, min_len=min_len)
+    track_spec = pl.BlockSpec((T * D, BLK), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, BLK), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((K, 1), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(Bp // BLK,),
+        in_specs=[track_spec, track_spec, row_spec, row_spec]
+        + [vec_spec] * 6,
+        out_specs=[row_spec, track_spec] + [vec_spec] * 6,
+        out_shape=[jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((T * D, Bp), jnp.float32)]
+        + [jax.ShapeDtypeStruct((K, 1), jnp.float32)] * 6,
+        scratch_shapes=[pltpu.VMEM((T - 1, D, K, BLK), jnp.float32),
+                        pltpu.VMEM((T - 1, D, K, BLK), jnp.float32),
+                        pltpu.VMEM((T - 1, K, BLK), jnp.float32)],
+        interpret=INTERPRET,
+    )(xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv, s2v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _neg_logl(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
+              s2v):
+    out = _grad_call(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv,
+                     endv, s2v)
+    return -jnp.sum(out[0])
+
+
+def _neg_logl_fwd(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
+                  s2v):
+    out = _grad_call(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv,
+                     endv, s2v)
+    value = -jnp.sum(out[0])
+    residuals = ((xs, lengths_f, isbl), out[1], tuple(out[2:]))
+    return value, residuals
+
+
+def _neg_logl_bwd(static, residuals, g):
+    (xs, lengths_f, isbl), ct_l2, ct_vecs = residuals
+    s = -g
+    return (jnp.zeros_like(xs), s * ct_l2, jnp.zeros_like(lengths_f),
+            jnp.zeros_like(isbl)) + tuple(s * c[:, 0, None] * 1.0
+                                          for c in ct_vecs)
+
+
+_neg_logl_bwd_outputs_note = """bwd returns cotangents for
+(xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv, s2v)."""
+
+_neg_logl.defvjp(_neg_logl_fwd, _neg_logl_bwd)
+
+
+def neg_log_likelihood(positions, lengths, is_bleached, tables: ModelTables,
+                       *, window: int = 6, nb_substeps: int = 1,
+                       min_len: int = 3, block: int = 128):
+    """-sum logL, differentiable w.r.t. the model tables and loc errors,
+    with both passes as VMEM-resident Pallas kernels."""
+    B, T, D = positions.shape
+    S = tables.nb_states
+    W, n = window, nb_substeps
+    K, A = S ** W, S ** n
+    G = K // A
+    f32 = jnp.float32
+    if tables.sig2.reshape(-1, tables.sig2.shape[-1]).shape[0] != 1:
+        raise NotImplementedError("pallas grad path requires constant dt")
+
+    lp0, s20, lt, lsurv, end, sig2v = [
+        v.astype(f32)[:, None] for v in build_slot_tables(tables, W, n)]
+    # s20 and sig2v come from the same table; passing the same traced array
+    # twice makes JAX sum both cotangents into its source automatically
+
+    BLK = min(block, max(128, 1 << (B - 1).bit_length()))
+    Bp = int(np.ceil(B / BLK)) * BLK
+    l2 = jnp.broadcast_to(tables.loc_err2.astype(f32), (B, T, D))
+    xs = positions.astype(f32).transpose(1, 2, 0).reshape(T * D, B)
+    l2 = l2.transpose(1, 2, 0).reshape(T * D, B)
+    if Bp != B:
+        xs = jnp.pad(xs, ((0, 0), (0, Bp - B)))
+        l2 = jnp.pad(l2, ((0, 0), (0, Bp - B)), constant_values=1.0)
+        lengths = jnp.pad(lengths, (0, Bp - B))
+        is_bleached = jnp.pad(is_bleached, (0, Bp - B))
+    lengths_f = lengths.astype(f32)[None, :]
+    isbl = is_bleached.astype(f32)[None, :]
+
+    static = (T, D, K, A, G, BLK, min_len)
+    return _neg_logl(static, xs, l2, lengths_f, isbl,
+                     lp0, sig2v, lt, lsurv, end, sig2v)

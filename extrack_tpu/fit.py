@@ -197,16 +197,26 @@ def fit(batch: tdata.TrackBatch,
                 print(-v, q)
         return v, g
 
+    # gradient-free methods (the reference GUI's first iteration uses
+    # Powell, ExTrack_GUI.py:298) get a value-only objective
+    grad_free = method.lower() in ("powell", "nelder-mead", "cobyla")
+    if grad_free:
+        def run_opt(z_init):
+            return scipy.optimize.minimize(
+                lambda z: fun(z)[0], z_init, method=method,
+                options={"maxiter": max_iter})
+    else:
+        def run_opt(z_init):
+            return scipy.optimize.minimize(fun, z_init, jac=True,
+                                           method=method,
+                                           options={"maxiter": max_iter})
+
     t0 = time.time()
-    res = scipy.optimize.minimize(fun, z0, jac=True, method=method,
-                                  options={"maxiter": max_iter})
+    res = run_opt(z0)
     if n_starts > 1:
         rng = np.random.default_rng(seed)
         for _ in range(n_starts - 1):
-            z_try = z0 + rng.normal(0, start_scale, z0.shape)
-            alt = scipy.optimize.minimize(fun, z_try, jac=True,
-                                          method=method,
-                                          options={"maxiter": max_iter})
+            alt = run_opt(z0 + rng.normal(0, start_scale, z0.shape))
             if np.isfinite(alt.fun) and alt.fun < res.fun:
                 res = alt
     if verbose:

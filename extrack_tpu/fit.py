@@ -84,16 +84,23 @@ def make_objective(batch,
         mesh = pmesh.make_mesh()
         batches = [pmesh.shard_batch(b, mesh) for b in batches]
 
+    def _pallas_ok(b):
+        from extrack_tpu.ops import pallas_grad
+        return (b.dt is None and pallas_grad.supports(
+            b.max_len, b.nb_dims, nb_states, window))
+
     if compute_engine == "auto":
-        use_pallas = (jax.default_backend() == "tpu" and not sharded
-                      and all(b.dt is None for b in batches))
+        # decided per length bucket: long-track buckets exceed the grad
+        # kernel's VMEM carry budget and take the XLA engine instead
+        pallas_batches = [jax.default_backend() == "tpu" and not sharded
+                          and _pallas_ok(b) for b in batches]
     else:
-        use_pallas = compute_engine == "pallas"
+        pallas_batches = [compute_engine == "pallas"] * len(batches)
 
     def neg_logl(z):
         values = spec.resolve(spec.from_unconstrained(z))
         total = 0.0
-        for b in batches:
+        for b, use_pallas in zip(batches, pallas_batches):
             loc_err_input = b.loc_err if input_loc_err else None
             Ds, Fs, rates, loc_err, pBL = tparams.extract_arrays(
                 values, nb_states, input_loc_err=loc_err_input)

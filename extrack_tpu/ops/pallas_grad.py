@@ -248,9 +248,23 @@ _neg_logl_bwd_outputs_note = """bwd returns cotangents for
 _neg_logl.defvjp(_neg_logl_fwd, _neg_logl_bwd)
 
 
+_SCRATCH_BUDGET = 7 * 1024 * 1024   # VMEM bytes for the carry history
+
+
+def supported_block(T: int, D: int, K: int) -> int:
+    """Largest lane-multiple block whose carry history fits the VMEM budget
+    (0 = unsupported; callers fall back to the XLA engine)."""
+    per_track = (T - 1) * (2 * D + 1) * K * 4
+    return (_SCRATCH_BUDGET // per_track) // 128 * 128
+
+
+def supports(T: int, D: int, nb_states: int, window: int) -> bool:
+    return supported_block(T, D, nb_states ** window) >= 128
+
+
 def neg_log_likelihood(positions, lengths, is_bleached, tables: ModelTables,
                        *, window: int = 6, nb_substeps: int = 1,
-                       min_len: int = 3, block: int = 128):
+                       min_len: int = 3, block: int = 256):
     """-sum logL, differentiable w.r.t. the model tables and loc errors,
     with both passes as VMEM-resident Pallas kernels."""
     B, T, D = positions.shape
@@ -261,6 +275,12 @@ def neg_log_likelihood(positions, lengths, is_bleached, tables: ModelTables,
     f32 = jnp.float32
     if tables.sig2.reshape(-1, tables.sig2.shape[-1]).shape[0] != 1:
         raise NotImplementedError("pallas grad path requires constant dt")
+    max_blk = supported_block(T, D, K)
+    if max_blk < 128:
+        raise NotImplementedError(
+            f"carry history for T={T}, K={K} exceeds the VMEM budget — "
+            "use the XLA engine")
+    block = min(block, max_blk)
 
     lp0, s20, lt, lsurv, end, sig2v = [
         v.astype(f32)[:, None] for v in build_slot_tables(tables, W, n)]

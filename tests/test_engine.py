@@ -165,6 +165,31 @@ def test_posteriors_exact_window():
         assert np.all(np.asarray(preds[i][lengths[i]:]) == 0.0)
 
 
+def test_three_state_posteriors_exact_window():
+    rng = np.random.default_rng(12)
+    Ds = np.array([0.001, 0.05, 0.3])
+    Fs = np.array([0.3, 0.4, 0.3])
+    rates = np.full((3, 3), 0.08)
+    tr = np.array([[.8, .1, .1], [.1, .8, .1], [.1, .1, .8]])
+    xs, _ = _sim_tracks(rng, 3, 5, 2, Ds, tr, Fs, 0.02, 0.02)
+    lengths = np.array([5, 4, 5])
+    isbl = np.array([1, 1, 0])
+    tr_sub = np.asarray(tables.transition_matrix(jnp.asarray(rates)))
+    tb = tables.build_tables(Ds, 0.02, Fs, rates, 0.1, 0.02,
+                             cell_dims=(1.0,), nb_substeps=1)
+    logl, preds = engine.forward(
+        jnp.asarray(xs), jnp.asarray(lengths), jnp.asarray(isbl, dtype=float),
+        tb, window=5, nb_substeps=1, min_len=3, return_preds=True)
+    for i in range(3):
+        want_l, want_p = oracle.track_log_likelihood(
+            xs[i][:lengths[i]], 0.02, Ds, Fs, tr_sub, pBL=0.1,
+            is_bleached=float(isbl[i]), cell_dims=(1.0,), nb_substeps=1,
+            dt=0.02, min_len=3, return_posteriors=True)
+        np.testing.assert_allclose(float(logl[i]), want_l, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(preds[i][:lengths[i]]),
+                                   want_p, atol=1e-10)
+
+
 def test_three_dims_exact_window():
     rng = np.random.default_rng(11)
     Ds, Fs = np.array([0.0, 0.1]), np.array([0.4, 0.6])

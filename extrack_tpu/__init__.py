@@ -10,4 +10,22 @@ TPU and shards over device meshes.
 from extrack_tpu.version import __version__  # noqa: F401
 from extrack_tpu import config, data, params, simulate  # noqa: F401
 from extrack_tpu import fit, predict, tracking, parallel  # noqa: F401
+from extrack_tpu import histograms  # noqa: F401
 from extrack_tpu.core import engine, gaussian, oracle, tables  # noqa: F401
+
+# reference-compatible module names (extrack/__init__.py:1-10)
+from extrack_tpu import refine as refined_localization  # noqa: F401
+from extrack_tpu import simulate as simulate_tracks  # noqa: F401
+from extrack_tpu.io import exporters, readers  # noqa: F401
+
+_LAZY = {"visualization": "extrack_tpu.visualization",  # needs matplotlib
+         "gui": "extrack_tpu.gui",                      # needs tkinter
+         "auto_fitting": "extrack_tpu.auto_fitting",
+         "cli": "extrack_tpu.cli"}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+        return importlib.import_module(_LAZY[name])
+    raise AttributeError(f"module 'extrack_tpu' has no attribute {name!r}")

@@ -97,9 +97,35 @@ class ModelSelectionResult:
         return "\n".join(rows)
 
 
+def split_state_params(values: Dict[str, float], nb_states: int,
+                       D_max: float = 3.0) -> tparams.Parameters:
+    """Initial parameters for an (s+1)-state fit from an s-state optimum:
+    split the fastest state into two (0.6x and 1.6x its D), halve its
+    fraction.  Incremental warm starts avoid the local optima that default
+    initializations hit for 3+ states (the reference hand-tunes estimates
+    per state count in its tutorial instead)."""
+    Ds = [float(values[f"D{i}"]) for i in range(nb_states)]
+    Fs = [float(values[f"F{i}"]) for i in range(nb_states)]
+    d_last = max(Ds[-1], 1e-3)
+    new_Ds = Ds[:-1] + [0.6 * d_last, min(1.6 * d_last, D_max * 0.9)]
+    new_Fs = Fs[:-1] + [Fs[-1] / 2, Fs[-1] / 2]
+    new_Fs = [max(f, 0.01) for f in new_Fs]
+    norm = sum(new_Fs)
+    new_Fs = [f / norm for f in new_Fs]
+    rates = [float(values[k]) for k in values
+             if k.startswith("p") and len(k) == 3]
+    r0 = float(np.clip(np.mean(rates) if rates else 0.1, 0.01, 0.5))
+    return tparams.generate_params(
+        nb_states=nb_states + 1, LocErr_type=1,
+        estimated_LocErr=[float(values.get("LocErr", 0.02))],
+        estimated_Ds=new_Ds, estimated_Fs=new_Fs,
+        estimated_transition_rates=r0, D_max=D_max)
+
+
 def model_selection(all_tracks, dt, state_range: Sequence[int] = (2, 3, 4),
                     cell_dims=(1.0,), criterion: str = "bic",
                     frame_lens: Optional[Dict[int, int]] = None,
+                    warm_start: bool = True,
                     verbose: int = 0, **kw) -> ModelSelectionResult:
     """Fit 2..n-state models and rank them by BIC/AIC.
 
@@ -107,17 +133,23 @@ def model_selection(all_tracks, dt, state_range: Sequence[int] = (2, 3, 4),
     that takes "around a day", Tutorial md cell 49); here each fit is a
     handful of seconds of TPU time.  Default window per state count follows
     the reference's own defaults (6 -> 5 -> 4 as states grow, SURVEY.md
-    section 7.6e).
+    section 7.6e).  With ``warm_start`` each state count initializes by
+    splitting the fastest state of the previous optimum.
     """
     frame_lens = frame_lens or {2: 6, 3: 5, 4: 4, 5: 3}
     n_points = sum(np.prod(np.asarray(all_tracks[k]).shape[:2])
                    for k in all_tracks)
     fits, logls, bic, aic = {}, {}, {}, {}
+    prev = None
     for s in state_range:
+        params = None
+        if warm_start and prev is not None and prev[0] == s - 1:
+            params = split_state_params(prev[1].params.valuesdict(), s - 1)
         res = tfit.param_fitting(
-            all_tracks, dt, nb_states=s,
+            all_tracks, dt, params=params, nb_states=s,
             frame_len=frame_lens.get(s, 4), cell_dims=cell_dims,
             verbose=verbose, **kw)
+        prev = (s, res)
         k_free = len(res.params.free_names())
         fits[s] = res
         logls[s] = res.logl

@@ -94,6 +94,20 @@ def test_substeps_exact_window():
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
 
 
+def test_three_substeps_exact_window():
+    rng = np.random.default_rng(13)
+    Ds, Fs = np.array([0.0, 0.1]), np.array([0.5, 0.5])
+    rates = np.array([[0.0, 0.3], [0.4, 0.0]])
+    xs, _ = _sim_tracks(rng, 2, 3, 2, Ds, np.array([[.9, .1], [.15, .85]]),
+                        Fs, 0.02, 0.02)
+    lengths = np.full(2, 3)
+    isbl = np.array([1, 0])
+    # hidden chain length (T-1)*n+1 = 7 -> W=7 exact
+    got, want = _run_both(xs, lengths, isbl, Ds, Fs, rates, 0.02, 0.02,
+                          0.1, (0.5,), n=3, W=7, min_len=2)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
 def test_mixed_lengths_and_padding():
     rng = np.random.default_rng(6)
     Ds, Fs = np.array([0.0, 0.08]), np.array([0.5, 0.5])

@@ -82,15 +82,22 @@ class TrackBatch:
         assert n > b
         pad = n - b
 
-        def _pad(x):
+        def _pad(x, value=0):
             if x is None:
                 return None
             widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-            return jnp.pad(x, widths)
+            return jnp.pad(x, widths, constant_values=value)
 
+        # loc_err / dt pad with positive values: zeros would put log(0)/
+        # 0-variance terms in masked lanes, whose NaNs leak through
+        # jnp.where under grad.  dt pads with its own median so the
+        # median-based survival tables (tables.build_tables dt_repr) are
+        # identical before and after padding.
+        dt_fill = jnp.median(self.dt) if self.dt is not None else 0
         return TrackBatch(
-            _pad(self.positions), _pad(self.lengths), _pad(self.loc_err),
-            _pad(self.is_bleached), _pad(self.frames), _pad(self.dt))
+            _pad(self.positions), _pad(self.lengths),
+            _pad(self.loc_err, 1.0), _pad(self.is_bleached),
+            _pad(self.frames), _pad(self.dt, dt_fill))
 
 
 def from_dict(all_tracks: Dict[str, np.ndarray],

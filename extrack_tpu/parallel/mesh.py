@@ -52,6 +52,24 @@ def shard_batch(batch: tdata.TrackBatch, mesh: Mesh) -> tdata.TrackBatch:
     return tdata.TrackBatch(*(put(c) for c in batch.tree_flatten()[0]))
 
 
+def table_specs(tables: ModelTables, batch_size: int) -> ModelTables:
+    """Per-leaf PartitionSpecs for ModelTables under a data mesh.
+
+    Model tables are tiny and replicate — except per-track leaves: per-peak
+    ``loc_err2 (B, T, D)`` and per-track-dt ``sig2 (B, Tm1, P)`` carry the
+    batch axis and must shard with the tracks (they are built from the
+    already-sharded batch in fit.make_objective).
+    """
+    def _leaf(x):
+        if x.ndim == 3 and x.shape[0] == batch_size:
+            return P(DATA_AXIS, None, None)
+        return P()
+
+    return ModelTables(
+        log_trans=P(), log_frac=P(), sig2=_leaf(tables.sig2),
+        log_survive=P(), end_ll=P(), loc_err2=_leaf(tables.loc_err2))
+
+
 def sharded_log_likelihood(batch: tdata.TrackBatch, tables: ModelTables,
                            *, window: int = 6, nb_substeps: int = 1,
                            min_len: int = 3,
@@ -61,6 +79,8 @@ def sharded_log_likelihood(batch: tdata.TrackBatch, tables: ModelTables,
     Works under jit/grad: with sharded inputs, XLA partitions the scan and
     inserts the reduction collective automatically (GSPMD); the explicit
     shard_map path is used when a mesh is passed for strict control.
+    Per-track model tables (per-peak loc_err2, per-track-dt sig2) shard with
+    the data; everything else replicates.
     """
     if mesh is None:
         return jnp.sum(engine.forward(
@@ -69,7 +89,8 @@ def sharded_log_likelihood(batch: tdata.TrackBatch, tables: ModelTables,
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                  table_specs(tables, batch.positions.shape[0])),
         out_specs=P(), check_vma=False)
     def shard_fn(pos, lengths, isbl, tb):
         local = jnp.sum(engine.forward(

@@ -112,21 +112,26 @@ def bench_refine(n=10000):
 
 @timed("fit_1M_tracks_sim_fov")
 def bench_million(n=1_000_000, quick=False):
-    from extrack_tpu import data as tdata, fit, params as xp
+    from extrack_tpu import fit, params as xp, simulate
     if quick:
         n = 100_000
     t0 = time.perf_counter()
-    tracks, _, _ = _sim(n, seed=5, max_len=10)
+    # on-device simulation: data never leaves the accelerator
+    batches, _ = simulate.sim_fov_batch(
+        nb_tracks=n, max_track_len=10, min_track_len=3,
+        LocErr=0.02, Ds=(0.0, 0.08), TrMat=np.array([[0.9, .1], [.1, .9]]),
+        dt=0.02, pBL=0.05, cell_dims=(0.5, None, None), seed=5)
+    jax.block_until_ready([b.positions for b in batches])
     sim_t = time.perf_counter() - t0
-    batch = tdata.from_dict(tracks, dtype=np.float32)
+    n_tracks = sum(b.batch_size for b in batches)
     spec = xp.generate_params(nb_states=2, LocErr_type=1, D_max=1.0,
                               estimated_Ds=[0.005, 0.05],
                               estimated_transition_rates=0.08)
     t0 = time.perf_counter()
-    res = fit.fit(batch, spec, 0.02, 2, cell_dims=(0.5,), window=5,
+    res = fit.fit(batches, spec, 0.02, 2, cell_dims=(0.5,), window=5,
                   verbose=0, sharded=len(jax.devices()) > 1)
     fit_t = time.perf_counter() - t0
-    return {"n_tracks": batch.batch_size, "sim_s": round(sim_t, 2),
+    return {"n_tracks": n_tracks, "sim_s": round(sim_t, 2),
             "fit_s": round(fit_t, 2), "n_evals": res.n_evals,
             "D1": round(res.params["D1"].value, 5),
             "logL": round(res.logl, 1)}

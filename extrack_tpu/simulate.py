@@ -243,6 +243,246 @@ def sim_fov(nb_tracks: int = 10000,
     return out_c, out_b, out_s
 
 
+# ---------------------------------------------------------------------------
+# On-device simulation (pure JAX)
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+
+@_functools.partial(
+    jax.jit, static_argnames=("n", "T", "nsub", "R", "min_len", "loc_err_std",
+                              "pBL", "bounded"))
+def _sim_fov_chunk(key, n, T, nsub, R, min_len, d2sub, cum_tr, cum_frac,
+                   cell, loc_err, loc_err_std, pBL, bounded):
+    """One fully-jitted simulation chunk: n particles -> n*R padded runs.
+
+    Device equivalent of the host path in :func:`sim_fov` (itself mirroring
+    sim_FOV, simulate_tracks.py:123-244).  Sub-state transitions run at
+    sub-step resolution inside a scan over frames; FOV membership and
+    bleaching act at frame resolution (as in the host version); each
+    particle's first R maximal in-FOV runs become fixed-shape output rows
+    (length 0 when absent), so every shape is static.
+
+    Returns (positions (n*R, T, 3), states (n*R, T) int8,
+    sigmas (n*R, T, 3), lengths (n*R,) int32).
+    """
+    f32 = jnp.float32
+    S = cum_tr.shape[0]
+    k_state, k_disp, k_start, k_bl, k_sig, k_noise = jax.random.split(key, 6)
+
+    # --- sub-stepped Markov chain, emitted at frame resolution -------------
+    u0 = jax.random.uniform(k_state, (n,))
+    s0 = jnp.sum(u0[:, None] > cum_frac[None, :], axis=1).astype(jnp.int32)
+
+    frame_keys = jax.random.split(jax.random.fold_in(k_state, 1), T - 1)
+
+    def frame_step(s, key_t):
+        def sub(j, sv):
+            s, var = sv
+            # displacement into sub-step j+1 is governed by the state at j
+            # (simulate_tracks.py:182)
+            var = var + d2sub[s]
+            u = jax.random.uniform(jax.random.fold_in(key_t, j), (n,))
+            s = jnp.sum(u[:, None] > cum_tr[s], axis=1).astype(jnp.int32)
+            return (s, var)
+        s, var = jax.lax.fori_loop(0, nsub, sub, (s, jnp.zeros((n,), f32)))
+        return s, (s, var)
+
+    _, (s_frames, var_frames) = jax.lax.scan(frame_step, s0, frame_keys)
+    states = jnp.concatenate([s0[None], s_frames], axis=0).T   # (n, T)
+    var = var_frames.T                                          # (n, T-1)
+
+    # --- frame positions ----------------------------------------------------
+    bcell = jnp.where(jnp.asarray(bounded), cell, 1.0).astype(f32)
+    start = (jax.random.uniform(k_start, (n, 3)) * 2.0 - 1.0) * bcell
+    disp = jax.random.normal(k_disp, (n, T - 1, 3), f32) \
+        * jnp.sqrt(var)[..., None]
+    r = jnp.concatenate([jnp.zeros((n, 1, 3), f32),
+                         jnp.cumsum(disp, axis=1)], axis=1) + start[:, None]
+
+    # --- FOV membership + bleach truncation (frame resolution) -------------
+    fov = jnp.ones((n, T), bool)
+    for ax in range(3):
+        if bounded[ax]:
+            fov &= (r[:, :, ax] > 0) & (r[:, :, ax] < cell[ax])
+    if pBL > 0:
+        u = jax.random.uniform(k_bl, (n, T))
+        event = (u < pBL) & fov
+        any_bl = event.any(axis=1)
+        t0 = jnp.argmax(event, axis=1)
+        cutoff = jnp.where(any_bl, t0, T - 1)
+        # the bleached frame itself is still observed (run_len = first_bl+1
+        # in the host path); everything after it is gone
+        fov &= jnp.arange(T)[None, :] <= cutoff[:, None]
+
+    # --- run decomposition, fixed cap of R runs per particle ---------------
+    is_start = fov & ~jnp.concatenate(
+        [jnp.zeros((n, 1), bool), fov[:, :-1]], axis=1)
+    run_id = jnp.cumsum(is_start, axis=1) - 1                   # (n, T)
+    t_idx = jnp.arange(T)[None, :]
+    starts, lens = [], []
+    for rr in range(R):
+        mask = fov & (run_id == rr)
+        ln = jnp.sum(mask, axis=1)
+        st = jnp.argmax(is_start & (run_id == rr), axis=1)
+        lens.append(jnp.where(ln >= min_len, ln, 0))
+        starts.append(st)
+    starts = jnp.stack(starts, axis=1)                          # (n, R)
+    lens = jnp.stack(lens, axis=1).astype(jnp.int32)            # (n, R)
+
+    # --- per-peak errors + measurement noise at particle level -------------
+    # (runs never overlap, so per-particle-frame draws are identical in
+    # distribution to the host's per-run-peak draws)
+    if loc_err_std > 0:
+        k_chi = 2.0 / (loc_err_std ** 2)
+        sigma = (jax.random.chisquare(k_sig, k_chi, (n, T, 3), f32)
+                 * (loc_err / k_chi))
+    else:
+        sigma = jnp.broadcast_to(jnp.asarray(loc_err, f32), (n, T, 3))
+    noisy = r + jax.random.normal(k_noise, (n, T, 3), f32) * sigma
+
+    # --- gather runs into fixed-shape rows ----------------------------------
+    idx = jnp.clip(starts[:, :, None] + t_idx[None], 0, T - 1)  # (n, R, T)
+    tmask = t_idx[None] < lens[:, :, None]                      # (n, R, T)
+
+    def take(a):                                  # (n, T, ...) -> (n, R, T, ...)
+        full_idx = idx.reshape((n, R, T) + (1,) * (a.ndim - 2))
+        return jnp.take_along_axis(a[:, None], full_idx, axis=2)
+
+    out_pos = jnp.where(tmask[..., None], take(noisy), 0.0)
+    out_sig = jnp.where(tmask[..., None], take(sigma), 1.0)
+    out_states = jnp.where(tmask, take(states), 0).astype(jnp.int8)
+    return (out_pos.reshape(n * R, T, 3), out_states.reshape(n * R, T),
+            out_sig.reshape(n * R, T, 3), lens.reshape(n * R))
+
+
+def sim_fov_batch(nb_tracks: int = 10000,
+                  max_track_len: int = 40,
+                  min_track_len: int = 2,
+                  LocErr=0.02,
+                  Ds=(0.0, 0.05),
+                  nb_dims: int = 2,
+                  initial_fractions=None,
+                  TrMat=None,
+                  LocErr_std: float = 0.0,
+                  dt: float = 0.02,
+                  pBL: float = 0.1,
+                  cell_dims: Sequence[Optional[float]] = (0.5, None, None),
+                  nb_sub_steps: int = 20,
+                  seed: Optional[int] = None,
+                  runs_per_particle: int = 4,
+                  chunk: int = 250_000,
+                  max_buckets: int = 4):
+    """On-device sim_FOV: returns padded TrackBatch buckets, never leaving
+    the accelerator.
+
+    Same model as :func:`sim_fov` / the reference (simulate_tracks.py:123-244)
+    — sub-stepped Brownian motion over a Markov state chain, uniform seeding
+    over twice the FOV per bounded axis, re-splitting at FOV exits, per-frame
+    bleaching, chi-square per-peak errors — but built from static-shape JAX
+    ops so 10^6-track datasets generate in seconds on TPU.  Each particle
+    contributes up to ``runs_per_particle`` FOV runs (re-entries beyond that
+    are dropped; with default geometry that is <0.1% of tracks).
+
+    Returns ``(batches, states)``: lists of TrackBatch (length-bucketed, runs
+    sorted by descending length) and matching (B, T_bucket) int8 ground-truth
+    state labels.  Empty output rows (length 0) are trimmed.
+    """
+    from extrack_tpu import data as tdata
+
+    Ds = np.asarray(Ds, dtype=np.float64)
+    TrMat = np.asarray(TrMat if TrMat is not None
+                       else [[0.9, 0.1], [0.1, 0.9]], dtype=np.float64)
+    if initial_fractions is None:
+        initial_fractions = stationary_fractions(TrMat)
+    LocErr3 = np.broadcast_to(np.asarray(LocErr, dtype=np.float32), (3,))
+    cell = np.array([1.0 if c is None else float(c) for c in cell_dims],
+                    dtype=np.float32)
+    bounded = tuple(c is not None for c in cell_dims)
+    n_total = int(nb_tracks * 2 ** sum(bounded))
+
+    sub = _sub_transition(TrMat, nb_sub_steps)
+    cum_tr = jnp.asarray(np.cumsum(sub, axis=1), jnp.float32)
+    cum_frac = jnp.asarray(np.cumsum(initial_fractions), jnp.float32)
+    d2sub = jnp.asarray(2.0 * Ds * (dt / nb_sub_steps), jnp.float32)
+    T = max_track_len
+    R = min(runs_per_particle, max(1, (T + 1) // 2))
+
+    key = jax.random.PRNGKey(seed if seed is not None else 0)
+    parts = []
+    left = n_total
+    c = 0
+    while left > 0:
+        n = min(chunk, left)
+        left -= n
+        parts.append(_sim_fov_chunk(
+            jax.random.fold_in(key, c), n, T, nb_sub_steps, R,
+            max(2, min_track_len), d2sub, cum_tr, cum_frac,
+            jnp.asarray(cell), jnp.asarray(LocErr3),
+            float(LocErr_std), float(pBL), bounded))
+        c += 1
+    pos = jnp.concatenate([p[0] for p in parts])
+    states = jnp.concatenate([p[1] for p in parts])
+    sig = jnp.concatenate([p[2] for p in parts])
+    lens = jnp.concatenate([p[3] for p in parts])
+
+    # compact + length-sort on device, then bucket on host metadata only
+    order = jnp.argsort(-lens)
+    lens_sorted = np.asarray(lens[order])
+    n_alive = int((lens_sorted > 0).sum())
+    if n_alive == 0:
+        raise ValueError("no tracks survived the FOV/bleaching filters")
+    order = order[:n_alive]
+    lens_host = lens_sorted[:n_alive]
+    data_max = int(lens_host[0])
+
+    cuts = _bucket_cuts(lens_host, max_buckets)
+    batches, states_out = [], []
+    i0 = 0
+    for i1 in cuts:
+        t_max = int(lens_host[i0])
+        sel = order[i0:i1]
+        batches.append(tdata.TrackBatch(
+            positions=pos[sel, :t_max, :nb_dims],
+            lengths=lens[sel],
+            loc_err=(sig[sel, :t_max, :nb_dims]
+                     if LocErr_std > 0 else None),
+            is_bleached=(lens[sel] < data_max).astype(pos.dtype)))
+        states_out.append(states[sel, :t_max])
+        i0 = i1
+    return batches, states_out
+
+
+def _bucket_cuts(lens_desc: np.ndarray, max_buckets: int):
+    """Cut indices minimizing total padded work sum(n_i * T_i) over <=
+    max_buckets contiguous groups of the descending length array."""
+    uniq, first = np.unique(-lens_desc, return_index=True)
+    bounds = np.append(first, len(lens_desc))    # ascending group starts
+    g = len(uniq)
+    widths = -uniq                               # descending lengths
+    INF = float("inf")
+    cost = [[INF] * (max_buckets + 1) for _ in range(g + 1)]
+    back = [[0] * (max_buckets + 1) for _ in range(g + 1)]
+    cost[0][0] = 0.0
+    for j in range(1, g + 1):
+        for b in range(1, max_buckets + 1):
+            for i in range(j):
+                if cost[i][b - 1] == INF:
+                    continue
+                c = cost[i][b - 1] + float(
+                    (bounds[j] - bounds[i]) * widths[i])
+                if c < cost[j][b]:
+                    cost[j][b] = c
+                    back[j][b] = i
+    b_best = int(np.argmin([cost[g][b] for b in range(max_buckets + 1)]))
+    cuts, j = [], g
+    for b in range(b_best, 0, -1):
+        cuts.append(int(bounds[j]))
+        j = back[j][b]
+    return sorted(cuts)
+
+
 def brownian_frames(key, nb_tracks: int, track_len: int, Ds, Fs, tr_mat,
                     loc_err: float, dt: float, nb_dims: int = 2):
     """Pure-JAX fixed-length track generator (frame-resolution transitions).

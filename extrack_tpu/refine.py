@@ -109,13 +109,18 @@ def _reverse_tracks(arr, lengths):
 
 
 @functools.partial(jax.jit, static_argnames=("window",))
-def refine_positions(positions, lengths, loc_err2, log_trans, sig2_states,
-                     *, window: int = 7):
-    """Refined per-localization position posteriors.
+def position_mixtures(positions, lengths, loc_err2, log_trans, sig2_states,
+                      *, window: int = 7):
+    """The full per-position true-position Gaussian mixture.
 
-    Returns (mu (B,T,D), sigma (B,T,D)) — the moment-matched mean and std of
-    the true-position mixture at every localization
-    (position_refinement, refined_localization.py:304-338).
+    Equivalent of the reference get_pos_PDF (refined_localization.py:207-302):
+    at every localization, a mixture over state-matched (prefix-slot,
+    suffix-slot) pairs; track ends mix over single-side slots.
+
+    Returns ``(mu (B,T,C,D), var (B,T,C,D), lw (B,T,C), labels (C,))`` with
+    C = S*(K/S)^2 components, s-major; unused components carry -inf weight
+    (ends populate components c = s*KS^2 + i*KS).  ``labels[c]`` is the
+    hidden state of the position under component c.
     """
     B, T, D = positions.shape
     S = log_trans.shape[0]
@@ -181,28 +186,193 @@ def refine_positions(positions, lengths, loc_err2, log_trans, sig2_states,
             + jnp.sum(-0.5 * jnp.log(2 * jnp.pi * tot_o)
                       - (xl[:, :, None] - mu12) ** 2 / (2 * tot_o), -1))
 
-    def moment(mu, var, lw):
-        mx = jnp.max(lw, axis=2, keepdims=True)
-        w = jnp.exp(lw - jnp.where(jnp.isfinite(mx), mx, 0.0))
-        sw = jnp.maximum(jnp.sum(w, axis=2), _TINY)[..., None]   # (B,T,1)
-        mu_out = jnp.sum(w[..., None] * mu, axis=2) / sw
-        var_out = jnp.sum(w[..., None] * var, axis=2) / sw
-        return mu_out, var_out
+    C = S * KS * KS
+    flat_i = lambda a: a.reshape((B, T, C) + a.shape[5:])  # noqa: E731
+    mu_i, var_i, lw_i = flat_i(mu_i), flat_i(var_i), flat_i(lw_i)
 
-    flat_i = lambda a: a.reshape((B, T, S * KS * KS) + a.shape[5:])  # noqa
-    mu_int, var_int = moment(flat_i(mu_i), flat_i(var_i), flat_i(lw_i))
-    mu_first, var_first = moment(mu_s, var_s, lw_s)
-    mu_last, var_last = moment(mu_p, var_p, lw_p)
+    # embed the K = S*KS end components at c = k*KS (slot k = s*KS + i)
+    def embed(mu_e, var_e, lw_e):
+        mu = jnp.zeros_like(mu_i).at[:, :, ::KS].set(mu_e)
+        var = jnp.ones_like(var_i).at[:, :, ::KS].set(var_e)
+        lw = jnp.full_like(lw_i, -jnp.inf).at[:, :, ::KS].set(lw_e)
+        return mu, var, lw
+
+    mu_first, var_first, lw_first = embed(mu_s, var_s, lw_s)
+    mu_last, var_last, lw_last = embed(mu_p, var_p, lw_p)
 
     k_idx = jnp.arange(T)[None, :]
-    first = (k_idx == 0)[..., None]
-    last = (k_idx == lengths[:, None] - 1)[..., None]
-    mu = jnp.where(first, mu_first, jnp.where(last, mu_last, mu_int))
-    var = jnp.where(first, var_first, jnp.where(last, var_last, var_int))
-    valid = (k_idx < lengths[:, None])[..., None]
+    first = (k_idx == 0)[:, :, None]
+    last = (k_idx == lengths[:, None] - 1)[:, :, None]
     # two-point tracks: both ends, no interior — 'first' takes precedence at
     # k=0 and 'last' at k=1, which is exactly right
+    def pick(a_first, a_last, a_int):
+        sel_f = first.reshape(first.shape + (1,) * (a_int.ndim - 3))
+        sel_l = last.reshape(last.shape + (1,) * (a_int.ndim - 3))
+        return jnp.where(sel_f, a_first, jnp.where(sel_l, a_last, a_int))
+
+    mu = pick(mu_first, mu_last, mu_i)
+    var = pick(var_first, var_last, var_i)
+    lw = pick(lw_first, lw_last, lw_i)
+    valid = (k_idx < lengths[:, None])[:, :, None]
+    lw = jnp.where(valid, lw, -jnp.inf)
+    labels = jnp.repeat(jnp.arange(S), KS * KS)
+    return mu, var, lw, labels
+
+
+def _moment_match_mixture(mu, var, lw):
+    """Posterior-weighted mean and variance of a padded Gaussian mixture
+    over its component axis (axis 2)."""
+    mx = jnp.max(lw, axis=2, keepdims=True)
+    w = jnp.exp(lw - jnp.where(jnp.isfinite(mx), mx, 0.0))
+    sw = jnp.maximum(jnp.sum(w, axis=2), _TINY)[..., None]       # (B,T,1)
+    mu_out = jnp.sum(w[..., None] * mu, axis=2) / sw
+    var_out = jnp.sum(w[..., None] * var, axis=2) / sw
+    return mu_out, var_out
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def refine_positions(positions, lengths, loc_err2, log_trans, sig2_states,
+                     *, window: int = 7):
+    """Refined per-localization position posteriors.
+
+    Returns (mu (B,T,D), sigma (B,T,D)) — the moment-matched mean and std of
+    the true-position mixture at every localization
+    (position_refinement, refined_localization.py:304-338).
+    """
+    B, T, D = positions.shape
+    lengths = lengths.astype(jnp.int32)
+    mu_c, var_c, lw, _ = position_mixtures(
+        positions, lengths, loc_err2, log_trans, sig2_states, window=window)
+    mu, var = _moment_match_mixture(mu_c, var_c, lw)
+    k_idx = jnp.arange(T)[None, :]
+    valid = (k_idx < lengths[:, None])[..., None]
     return jnp.where(valid, mu, 0.0), jnp.where(valid, jnp.sqrt(var), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Raw mixture API (reference get_pos_PDF and consumers)
+# ---------------------------------------------------------------------------
+
+def get_pos_PDF(Cs, LocErr, ds, Fs, TrMat, frame_len: int = 7,
+                threshold: float = 0.2, max_nb_states: int = 1000):
+    """Per-position Gaussian mixtures for a rectangular track array.
+
+    Reference-compatible wrapper (get_pos_PDF,
+    refined_localization.py:207-302): returns
+    ``(all_pos_means, all_pos_stds, all_pos_weights, all_pos_Bs)`` — lists
+    over positions of (n_tracks, C, D) means, (n_tracks, C, 1) stds,
+    (n_tracks, C) log weights and (C,) state labels.  Components with
+    -inf weight are padding (the reference returns ragged lists instead).
+    Deviations: the fixed window replaces threshold pruning
+    (``threshold``/``max_nb_states`` accepted for compatibility), and the
+    per-component state labels are returned (the reference computes but
+    drops them — its do_gifs_from_params expects 4 outputs,
+    refined_localization.py:560-566).
+    """
+    del threshold, max_nb_states
+    Cs = np.asarray(Cs)
+    n, T, D = Cs.shape
+    if isinstance(LocErr, (float, np.floating)):
+        loc_err2 = jnp.asarray(float(LocErr) ** 2)[None, None, None]
+    else:
+        loc_err2 = jnp.asarray(np.asarray(LocErr, dtype=np.float64) ** 2)
+        while loc_err2.ndim < 3:
+            loc_err2 = loc_err2[None]
+    del Fs  # fractions don't enter refinement (uniform both directions)
+    lengths = jnp.full((n,), T, jnp.int32)
+    log_trans = jnp.log(jnp.asarray(TrMat, dtype=jnp.float64))
+    sig2_states = jnp.asarray(np.asarray(ds) ** 2, jnp.float64)
+    mu, var, lw, labels = position_mixtures(
+        jnp.asarray(Cs, jnp.float64), lengths, loc_err2, log_trans,
+        sig2_states, window=frame_len)
+    mu, var, lw = np.asarray(mu), np.asarray(var), np.asarray(lw)
+    std = np.sqrt(var[..., :1])     # reference reports a 1-column std
+    labels = np.asarray(labels)
+    return ([mu[:, k] for k in range(T)], [std[:, k] for k in range(T)],
+            [lw[:, k] for k in range(T)], [labels for _ in range(T)])
+
+
+def get_all_estimates(all_pos_weights, all_pos_Bs, all_pos_means,
+                      all_pos_stds):
+    """Maximum-weight mixture component per position.
+
+    Reference: get_all_estimates, refined_localization.py:340-365.  Returns
+    (best_mus (n, T, D), best_sigs (n, T, 1), best_Bs (n, T) int).
+    """
+    best_mus, best_sigs, best_Bs = [], [], []
+    for w, Bs, mus, sigs in zip(all_pos_weights, all_pos_Bs, all_pos_means,
+                                all_pos_stds):
+        w = np.asarray(w)
+        idx = np.argmax(w, axis=1)
+        rows = np.arange(len(w))
+        best_mus.append(np.asarray(mus)[rows, idx])
+        best_sigs.append(np.asarray(sigs)[rows, idx])
+        best_Bs.append(np.asarray(Bs)[idx] if np.ndim(Bs) == 1
+                       else np.asarray(Bs)[rows, idx])
+    return (np.stack(best_mus, axis=1), np.stack(best_sigs, axis=1),
+            np.stack(best_Bs, axis=1).astype(int))
+
+
+def get_global_sigs_mus(all_pos_means, all_pos_stds, all_pos_weights,
+                        idx: int = 0):
+    """Moment summary of one track's per-position mixtures.
+
+    Reference: get_global_sigs_mus, refined_localization.py:521-533 —
+    means weighted by exp(LC), stds weighted by exp(LC)^2 (the reference's
+    actual formula, reproduced as-is).  Padding components (weight -inf)
+    contribute zero.  Returns (w_mus (T, D), w_sigs (T,)).
+    """
+    w_mus, w_sigs = [], []
+    for mus, sigs, LC in zip(all_pos_means, all_pos_stds, all_pos_weights):
+        mus = np.asarray(mus)[idx]
+        sigs = np.asarray(sigs)[idx]
+        LC = np.asarray(LC)[idx]
+        LC = LC - np.max(LC)
+        w = np.exp(LC)[:, None]
+        w_sigs.append(np.sum(w ** 2 * sigs) / np.sum(w ** 2))
+        w_mus.append(np.sum(w * mus, axis=0) / np.sum(w, axis=0))
+    return np.array(w_mus), np.array(w_sigs)
+
+
+def get_best_estimates(Cs, LocErr, ds, Fs, TrMat, frame_len: int = 10):
+    """Refined positions for the argmax-posterior state sequence.
+
+    Reference: get_best_estimates, refined_localization.py:551-559 —
+    predict posteriors, take per-frame argmax states, run the fixed-Bs
+    refinement.  (The reference's loop has an indentation bug that keeps
+    only the last track; here all tracks are returned.)
+    Returns (mus (n, T, D), sigs (n, T, D)).
+    """
+    from extrack_tpu.core import engine as tengine, tables as ttables
+    Cs = np.asarray(Cs)
+    n, T, D = Cs.shape
+    lengths = jnp.full((n,), T, jnp.int32)
+    Fs = np.asarray(Fs, dtype=np.float64)
+    tr = np.asarray(TrMat, dtype=np.float64)
+    ds = np.asarray(ds, dtype=np.float64)
+    loc_err = (float(LocErr) if np.ndim(LocErr) == 0
+               else np.asarray(LocErr, dtype=np.float64))
+    S = tr.shape[0]
+    rates = np.zeros_like(tr)       # build tables from the matrix directly
+    # pBL=0.1 keeps end_ll finite; it is unused (is_bleached=0 below)
+    tb = ttables.build_tables(
+        jnp.zeros((S,)), jnp.asarray(loc_err), jnp.asarray(Fs),
+        jnp.asarray(rates), 0.1, 1.0, cell_dims=())._replace(
+        log_trans=jnp.log(jnp.asarray(tr)),
+        sig2=jnp.asarray(0.5 * (ds[:, None] ** 2 + ds[None, :] ** 2)
+                         ).reshape(1, -1))
+    _, preds = tengine.forward(jnp.asarray(Cs, jnp.float64), lengths,
+                               jnp.zeros((n,)), tb,
+                               window=min(frame_len, 8), min_len=2,
+                               return_preds=True)
+    states = jnp.argmax(preds, axis=2)
+    loc_err2 = jnp.asarray(np.asarray(loc_err) ** 2)
+    while loc_err2.ndim < 3:
+        loc_err2 = loc_err2[None]
+    mus, sigs = refine_positions_fixed_states(
+        jnp.asarray(Cs, jnp.float64), lengths, loc_err2,
+        jnp.asarray(ds ** 2), states)
+    return np.asarray(mus), np.asarray(sigs)
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -7,7 +7,20 @@ default engine sizes.
 """
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: TPU programs here compile remotely
+# (100-300 s for a new program shape through the tunnel); caching the
+# serialized executables on disk makes every later process start warm.
+if jax.config.jax_compilation_cache_dir is None:
+    _cache = os.environ.get("EXTRACK_TPU_COMPILE_CACHE",
+                            os.path.expanduser("~/.cache/extrack_tpu_jax"))
+    if _cache and _cache != "0":
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def default_dtype():

@@ -4,15 +4,23 @@ Equivalent of the reference histogram engine (extrack/histograms.py:26-457):
 the posterior-weighted distribution of consecutive same-state segment lengths
 — a non-Markovian diagnostic of the fitted model.
 
-TPU redesign: where the reference keeps a *growing* list of explicit state
-sequences pruned by a NumPy ``argsort`` to the ``max_nb_states`` most likely
-(extrack/histograms.py:194-206), this engine keeps a *static* register of
-``max_nb_states`` explicit sequences inside a ``lax.scan``: branch xS,
-Gaussian update, then ``jax.lax.top_k`` on the same one-step-lookahead
-posterior score the reference sorts by.  Unused slots carry -inf weight, so
-results are exact until the true sequence count exceeds the register.
-Segment decoding (histograms.py:253-284) is a vectorized cummax over end
-markers plus one scatter-add — no per-sequence Python loops.
+TPU redesign — two engines:
+
+* ``window_segment_histogram`` (default): sort-free fixed-window DP.  The
+  likelihood engine's K = S**window sequence register is augmented with a
+  per-slot run-length distribution and a per-slot histogram of completed
+  segments, transported through the same moment-match fusions.  Exact when
+  window >= track length; no top-k, no sequence materialization — pure
+  dense VPU work (the reference's argsort pruning is a lane-gather-heavy
+  pattern that runs ~35x slower on TPU).
+* ``segment_histogram``: faithful port of the reference pruning rule —
+  a *static* register of ``max_nb_states`` explicit sequences inside a
+  ``lax.scan``: branch xS, Gaussian update, then ``jax.lax.top_k`` on the
+  same one-step-lookahead posterior score the reference sorts by
+  (extrack/histograms.py:194-206).  Unused slots carry -inf weight, so
+  results are exact until the true sequence count exceeds the register.
+  Segment decoding (histograms.py:253-284) is a vectorized cummax over
+  end markers plus one scatter-add — no per-sequence Python loops.
 
 Known deviations from the reference (documented, deliberate):
 * pruning also applies at the last interior step (the reference skips it
@@ -177,6 +185,228 @@ def segment_histogram(positions, lengths, is_bleached, tb: ModelTables,
     return decode_segments(seqs, w_final, lengths, S)
 
 
+# ---------------------------------------------------------------------------
+# Window-DP histogram engine (no sorting, no explicit sequences)
+# ---------------------------------------------------------------------------
+
+def _segment_tables(codes: np.ndarray, W: int, T: int, S: int):
+    """Static per-slot segment decorations of the W-frame window.
+
+    For each register slot (its W states known at compile time, oldest ->
+    newest order = reversed code digits):
+      * seg_int (K, T, S): completed runs fully inside the window, excluding
+        the run touching the window's oldest frame (that one joins the
+        carried run distribution);
+      * seg_all (W+1, K, T, S): all runs among the newest v window digits,
+        for every v (tracks shorter than the window never drop frames);
+      * ext (K,): length of the run at the window's oldest end.
+    """
+    K = codes.shape[0]
+    seg_int = np.zeros((K, T, S), np.float64)
+    seg_all = np.zeros((W + 1, K, T, S), np.float64)
+    ext = np.zeros((K,), np.int32)
+
+    def runs(a):
+        out, start = [], 0
+        for j in range(1, len(a) + 1):
+            if j == len(a) or a[j] != a[j - 1]:
+                out.append((j - start, int(a[j - 1])))
+                start = j
+        return out
+
+    for k in range(K):
+        seq = codes[k, ::-1]
+        r = runs(seq)
+        ext[k] = r[0][0]
+        for ln, s in r[1:]:
+            seg_int[k, min(ln, T) - 1, s] += 1
+        for v in range(2, W + 1):
+            for ln, s in runs(seq[W - v:]):
+                seg_all[v, k, min(ln, T) - 1, s] += 1
+    return seg_int, seg_all, ext
+
+
+@functools.partial(jax.jit, static_argnames=("window", "min_len"))
+def window_segment_histogram(positions, lengths, is_bleached,
+                             tb: ModelTables, *, window: int = 7,
+                             min_len: int = 3):
+    """Posterior-weighted segment-length histogram via the fixed window.
+
+    TPU-first redesign of the reference P_segment_len
+    (extrack/histograms.py:26-284): instead of carrying explicit state
+    sequences pruned by argsort (a lane-gather-heavy top-k on TPU), the
+    register is the likelihood engine's fixed window of K = S**W state
+    sequences, augmented with (i) a per-slot distribution over the length
+    of the run containing the window's oldest frame and (ii) a per-slot
+    expected histogram of segments completed in the dropped history.  Both
+    are mixed by the same fusion weights as the Gaussian moments, so the
+    approximation error matches the posterior path's; with window >= track
+    length the result is the exact full-enumeration histogram.  No
+    sorting, no sequence materialization — every step is dense VPU work.
+
+    Returns (T, S): row l-1 = expected number of length-l segments per
+    state, summed over tracks (per-track posterior normalized).
+    """
+    from extrack_tpu.core.engine import make_register_spec
+    from extrack_tpu.core.tables import branch_log_trans, init_log_prob
+
+    B, T, D = positions.shape
+    S = tb.nb_states
+    W = window
+    spec = make_register_spec(S, W, 1)
+    K, A, G = spec.K, spec.A, spec.G
+    dtype = positions.dtype
+    lengths = lengths.astype(jnp.int32)
+    isbl = is_bleached.astype(dtype)[None, :]
+
+    l2 = jnp.broadcast_to(tb.loc_err2.astype(dtype), (B, T, D))
+    xs_pos = positions.transpose(1, 2, 0)
+    xs_l2 = l2.transpose(1, 2, 0)
+    lt_ag = branch_log_trans(tb.log_trans, 1)[:, spec.prev0_g].astype(dtype)
+    lsurv = tb.log_survive.astype(dtype)
+    end_k = jnp.take(tb.end_ll, jnp.asarray(spec.prev0_k),
+                     axis=-1).astype(dtype)[:, None]
+    lp0 = init_log_prob(tb.log_trans, tb.log_frac, 1)
+
+    sig2 = tb.sig2.astype(dtype)
+    R = sig2.shape[-2]
+    ag_pat = np.arange(A)[:, None] * S + spec.prev0_g[None, :]
+
+    def sig2_ag_at(t_idx):
+        row = (sig2[..., 0, :] if R == 1
+               else jnp.take(sig2, jnp.minimum(t_idx, R - 1), axis=-2))
+        agg = jnp.take(row, jnp.asarray(ag_pat.reshape(-1)), axis=-1)
+        if agg.ndim == 1:
+            return agg.reshape(A, G, 1)
+        return agg.T.reshape(A, G, B)
+
+    # --- static segment decorations ----------------------------------------
+    # layout note: per-slot histograms are carried flattened as
+    # (K, S*T, B) — the trailing (S*T, B) pair is sublane-aligned, while a
+    # (..., S, B) trailing pair would pad S=2..4 sublanes to 8 (4x memory)
+    seg_int_np, seg_all_np, ext_np = _segment_tables(spec.codes, W, T, S)
+    seg_int = jnp.asarray(
+        seg_int_np.transpose(0, 2, 1).reshape(K, S * T), dtype)
+    seg_all = jnp.asarray(
+        seg_all_np.transpose(0, 1, 3, 2).reshape(W + 1, K, S * T), dtype)
+    e_old = jnp.asarray(
+        (spec.codes[:, W - 1, None] == np.arange(S)).astype(np.float64),
+        dtype)                                              # (K, S)
+    # boundary-run shift: bin m reads carried bin m - (ext-1)
+    m_idx = np.arange(T)[None, :]
+    src = m_idx - (ext_np[:, None] - 1)
+    shift_idx = jnp.asarray(np.clip(src, 0, T - 1))         # (K, T)
+    shift_ok = jnp.asarray((src >= 0).astype(np.float64), dtype)
+    rows_k = jnp.arange(K)[:, None]
+    # parent p = g*A + o: does the run extend across the drop?
+    ext_ok_np = (spec.codes[:, W - 2] == spec.codes[:, W - 1])
+    ext_ok = jnp.asarray(ext_ok_np.astype(np.float64),
+                         dtype).reshape(G, A)[:, :, None, None]
+
+    # --- initial register ----------------------------------------------------
+    sig2_init = jnp.take(sig2[..., 0, :], jnp.asarray(spec.init_pat),
+                         axis=-1)
+    sig2_init = (sig2_init[:, None] if sig2_init.ndim == 1 else sig2_init.T)
+    m0 = jnp.broadcast_to(xs_pos[0][:, None, :], (D, K, B))
+    s2_0 = jnp.broadcast_to(xs_l2[0][:, None, :] + sig2_init[None],
+                            (D, K, B))
+    lp_init = (jnp.take(lp0, jnp.asarray(spec.init_pat), axis=-1)
+               - spec.dummy_digits * np.log(S)).astype(dtype)
+    lp_0 = jnp.broadcast_to(lp_init[:, None], (K, B))
+    run_0 = jnp.zeros((K, T, B), dtype).at[:, 0].set(1.0)  # run length 1
+    histc_0 = jnp.zeros((K, S * T, B), dtype)
+    out_0 = jnp.zeros((S * T,), dtype)
+
+    lt_b = lt_ag[:, :, None, None]
+    lsurv_b = lsurv[:, None, None, None]
+
+    def step(carry, xs):
+        m, s2, lp, run, histc, out = carry
+        t, x_t, l2_t, sig2_ag = xs
+        is_final = (t == lengths - 1)
+        is_interior = (t < lengths - 1)
+
+        tot = l2_t[:, None, :] + s2
+        quad = -0.5 * jnp.log(2 * jnp.pi * tot) \
+            - (x_t[:, None, :] - m) ** 2 / (2 * tot)
+        lc = jnp.sum(quad, axis=0)                          # (K, B)
+
+        # ---- final-track contribution -------------------------------------
+        fin = lp + isbl * end_k + lc
+        pbar = jax.nn.softmax(fin, axis=0) \
+            * is_final[None, :].astype(dtype)               # (K, B)
+        v = jnp.minimum(t + 1, W)
+        carry_mode = (t + 1 > W)
+        seg_static = jnp.where(carry_mode, seg_int,
+                               jnp.take(seg_all, v, axis=0))  # (K, S*T)
+        boundary = run[rows_k, shift_idx] * shift_ok[..., None]  # (K, T, B)
+        bnd = (boundary[:, None] * e_old[:, :, None, None]
+               ).reshape(K, S * T, B)
+        total = histc + jnp.where(carry_mode, bnd, 0.0)
+        out = out + (jnp.sum(pbar[:, None, :] * total, axis=(0, 2))
+                     + seg_static.T @ jnp.sum(pbar, axis=1))
+
+        # ---- branch + fuse (same math as the engine) -----------------------
+        new_m = (m * l2_t[:, None, :] + x_t[:, None, :] * s2) / tot
+        tail = l2_t[:, None, :] * s2 / tot
+        gate = (t + 1 >= min_len).astype(dtype)
+        base = (lp + lc).reshape(G, A, B)
+        lp_child = (base[None] + lt_b + gate * lsurv_b)     # (A,G,O,B)
+        mx = jnp.max(lp_child, axis=2, keepdims=True)
+        safe = jnp.where(jnp.isfinite(mx), mx, 0.0)
+        w = jnp.exp(lp_child - safe)
+        sw = jnp.sum(w, axis=2)
+        wn = w / jnp.maximum(sw[:, :, None], 1e-300)        # (A,G,O,B)
+        lp_new = (jnp.squeeze(safe, 2) + jnp.log(jnp.maximum(sw, 1e-300))
+                  + jnp.where(jnp.isfinite(mx[:, :, 0]), 0.0, -jnp.inf))
+        new_mv = new_m.reshape(D, G, A, B)
+        tailv = tail.reshape(D, G, A, B)
+        m_f = sum(wn[None, :, :, o] * new_mv[:, None, :, o]
+                  for o in range(A))                        # (D,A,G,B)
+        tail_f = sum(wn[None, :, :, o] * tailv[:, None, :, o]
+                     for o in range(A))
+        s2_new = sig2_ag[None] + tail_f
+
+        # ---- run / hist transport across the drop --------------------------
+        real_drop = (t >= W - 1)
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(run[:, :1]), run[:, :-1]], axis=1)
+        runv = run.reshape(G, A, T, B)
+        sel = jnp.where(real_drop,
+                        jnp.where(ext_ok, shifted.reshape(G, A, T, B),
+                                  jnp.zeros_like(runv).at[:, :, 0].set(1.0)),
+                        runv)
+        # children of group g are slots a*G+g; A is tiny, so the o-mixes are
+        # explicit broadcast sums (an einsum lowers to a dot_general whose
+        # padded layouts blow HBM up ~10x)
+        run_new = sum(wn[:, :, o, None, :] * sel[None, :, o]
+                      for o in range(A)).reshape(K, T, B)   # (A,G,T,B)
+        completed = jnp.where(
+            real_drop,
+            (((1.0 - ext_ok) * runv)[:, :, None, :, :]
+             * e_old.reshape(G, A, S, 1, 1)).reshape(G, A, S * T, B), 0.0)
+        histv = histc.reshape(G, A, S * T, B) + completed
+        hist_new = sum(wn[:, :, o, None, :] * histv[None, :, o]
+                       for o in range(A)).reshape(K, S * T, B)
+
+        keep = is_interior[None, :]
+        m = jnp.where(keep[None], m_f.reshape(D, K, B), m)
+        s2 = jnp.where(keep[None], s2_new.reshape(D, K, B), s2)
+        lp = jnp.where(keep, lp_new.reshape(K, B), lp)
+        run = jnp.where(keep[:, None], run_new, run)
+        histc = jnp.where(keep[:, None], hist_new, histc)
+        return (m, s2, lp, run, histc, out), None
+
+    ts = jnp.arange(1, T, dtype=jnp.int32)
+    xs = (ts, xs_pos[1:], xs_l2[1:],
+          jax.vmap(sig2_ag_at)(ts) if R > 1
+          else jnp.broadcast_to(sig2_ag_at(0), (T - 1,)
+                                + sig2_ag_at(0).shape))
+    carry = (m0, s2_0, lp_0, run_0, histc_0, out_0)
+    carry, _ = jax.lax.scan(step, carry, xs)
+    return carry[5].reshape(S, T).T
+
+
 def decode_segments(seqs, weights, lengths, nb_states: int):
     """Histogram of same-state run lengths, weighted per sequence.
 
@@ -212,6 +442,26 @@ def decode_segments(seqs, weights, lengths, nb_states: int):
 # Reference-compatible drivers
 # ---------------------------------------------------------------------------
 
+@functools.partial(
+    jax.jit, static_argnames=("nb_states", "cell_dims", "matrix_type",
+                              "engine", "window", "max_nb_states",
+                              "min_len"))
+def _hist_from_values(values, positions, lengths, is_bleached, loc_err_in,
+                      dt_arr, *, nb_states, cell_dims, matrix_type, engine,
+                      window, max_nb_states, min_len):
+    """Parameter extraction + table build + histogram scan in one jit
+    (eager table ops cost seconds each through the TPU tunnel)."""
+    Ds, Fs, rates, loc_err, pBL = tparams.extract_arrays(
+        values, nb_states, input_loc_err=loc_err_in)
+    tb = ttables.build_tables(Ds, loc_err, Fs, rates, pBL, dt_arr,
+                              cell_dims=cell_dims, matrix_type=matrix_type)
+    if engine == "window":
+        return window_segment_histogram(positions, lengths, is_bleached,
+                                        tb, window=window, min_len=min_len)
+    return segment_histogram(positions, lengths, is_bleached, tb,
+                             max_nb_states=max_nb_states, min_len=min_len)
+
+
 def len_hist(all_tracks: Dict[str, np.ndarray],
              params,
              dt,
@@ -221,48 +471,52 @@ def len_hist(all_tracks: Dict[str, np.ndarray],
              workers: int = 1,
              nb_substeps: int = 1,
              input_LocErr=None,
-             matrix_type: int = 1) -> np.ndarray:
+             matrix_type: int = 1,
+             engine: str = "window",
+             window: int = 7,
+             chunk: Optional[int] = None) -> np.ndarray:
     """Reference-compatible driver (extrack/histograms.py:294-373).
 
     Returns (max_track_len, S).  ``workers`` accepted for compatibility;
     nb_substeps must be 1 (as in every reference usage).
+
+    engine='window' (default) uses the sort-free fixed-window DP
+    (window_segment_histogram) — orders of magnitude faster on TPU;
+    engine='topk' keeps the explicit top-``max_nb_states``-sequences
+    register matching the reference's pruning rule.
     """
     del workers
     if nb_substeps != 1:
         raise NotImplementedError("histograms support nb_substeps=1")
     batch = tdata.from_dict(all_tracks, input_loc_err=input_LocErr,
                             dt=dt if isinstance(dt, dict) else None)
-    chunk = 8192
+    if chunk is None:
+        # bound the scan carry (~K*S*T floats/track plus ~4x intermediates)
+        K = nb_states ** window
+        per_track = K * nb_states * batch.max_len * 4 * 4
+        chunk = int(min(65536, max(4096, (1 << 31) // per_track)))
     if batch.batch_size > chunk:
         batch = batch.pad_batch_to(
             int(np.ceil(batch.batch_size / chunk)) * chunk)
-        if batch.loc_err is not None:
-            batch.loc_err = jnp.where(batch.loc_err > 0, batch.loc_err, 1.0)
     values = (params.resolve()
               if isinstance(params, tparams.Parameters) else params)
-    Ds, Fs, rates, loc_err, pBL = tparams.extract_arrays(
-        values, nb_states,
-        input_loc_err=batch.loc_err if input_LocErr is not None else None)
     cell = tuple(c for c in cell_dims if c is not None)
     dt_arr = batch.dt if batch.dt is not None else jnp.asarray(dt)
-    tb = ttables.build_tables(Ds, loc_err, Fs, rates, pBL, dt_arr,
-                              cell_dims=cell, matrix_type=matrix_type)
     lens = np.asarray(batch.lengths)
     min_len = int(lens[lens >= 2].min()) if (lens >= 2).any() else 2
-    # round the register up to a lane-friendly multiple of 128
+    # round the top-k register up to a lane-friendly multiple of 128
     M = max(int(np.ceil(max_nb_states / 128)) * 128, 128)
-    # the histogram scan carries (M, T) sequences per track: chunk large
-    # batches (the reference chunks at 50 tracks, histograms.py:338)
-    per_peak = tb.loc_err2.shape[0] > 1
+    kw = dict(nb_states=nb_states, cell_dims=cell, matrix_type=matrix_type,
+              engine=engine, window=window, max_nb_states=M,
+              min_len=min_len)
     hist = None
     for c in range(int(np.ceil(batch.batch_size / chunk))):
         sl = slice(c * chunk, (c + 1) * chunk)
-        tb_c = tb._replace(
-            loc_err2=tb.loc_err2[sl] if per_peak else tb.loc_err2,
-            sig2=tb.sig2[sl] if tb.sig2.ndim == 3 else tb.sig2)
-        h = segment_histogram(batch.positions[sl], batch.lengths[sl],
-                              batch.is_bleached[sl], tb_c,
-                              max_nb_states=M, min_len=min_len)
+        h = _hist_from_values(
+            values, batch.positions[sl], batch.lengths[sl],
+            batch.is_bleached[sl],
+            batch.loc_err[sl] if input_LocErr is not None else None,
+            dt_arr[sl] if dt_arr.ndim > 1 else dt_arr, **kw)
         hist = h if hist is None else hist + h
     return np.asarray(hist)
 

@@ -8,15 +8,42 @@ everything here is one batched scan — vmapped over tracks, sharded over chips.
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from extrack_tpu import data as tdata
 from extrack_tpu import params as tparams
 from extrack_tpu.core import engine, tables
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nb_states", "cell_dims", "window", "min_len",
+                     "matrix_type", "nb_substeps", "return_preds"))
+def forward_from_values(values, positions, lengths, is_bleached,
+                        loc_err_in, dt_arr, *, nb_states, cell_dims,
+                        window, min_len, matrix_type=1, nb_substeps=1,
+                        return_preds=True):
+    """Parameter extraction + table build + scan engine in ONE jit.
+
+    Eager table building costs seconds per op through the TPU tunnel
+    (CLAUDE.md); fusing it into the compiled program makes driver calls a
+    single dispatch.  ``values`` is the resolved parameter dict (a pytree
+    of scalars); ``loc_err_in`` is the per-peak error batch or None.
+    """
+    Ds, Fs, rates, loc_err, pBL = tparams.extract_arrays(
+        values, nb_states, input_loc_err=loc_err_in)
+    tb = tables.build_tables(Ds, loc_err, Fs, rates, pBL, dt_arr,
+                             cell_dims=cell_dims, nb_substeps=nb_substeps,
+                             matrix_type=matrix_type)
+    return engine.forward(positions, lengths, is_bleached, tb,
+                          window=window, nb_substeps=nb_substeps,
+                          min_len=min_len, return_preds=return_preds)
 
 
 def predict_batch(batch: tdata.TrackBatch,
@@ -48,34 +75,22 @@ def predict_batch(batch: tdata.TrackBatch,
         # pad to a chunk multiple so every chunk reuses one compilation
         batch = batch.pad_batch_to(int(np.ceil(B / chunk_size))
                                    * chunk_size)
-        if batch.loc_err is not None:
-            # keep padded per-peak errors positive
-            batch.loc_err = jnp.where(batch.loc_err > 0, batch.loc_err, 1.0)
-    Ds, Fs, rates, loc_err, pBL = tparams.extract_arrays(
-        values, nb_states,
-        input_loc_err=batch.loc_err if input_loc_err else None)
+    kw = dict(nb_states=nb_states, cell_dims=tuple(cell_dims),
+              window=window, min_len=min_len, matrix_type=matrix_type)
     dt_arr = batch.dt if batch.dt is not None else jnp.asarray(dt)
-    tb = tables.build_tables(Ds, loc_err, Fs, rates, pBL, dt_arr,
-                             cell_dims=cell_dims, nb_substeps=1,
-                             matrix_type=matrix_type)
+
+    def run(sl):
+        return forward_from_values(
+            values, batch.positions[sl], batch.lengths[sl],
+            batch.is_bleached[sl],
+            batch.loc_err[sl] if input_loc_err else None,
+            dt_arr[sl] if dt_arr.ndim > 1 else dt_arr, **kw)
+
     if B <= chunk_size:
-        return engine.forward(batch.positions, batch.lengths,
-                              batch.is_bleached, tb, window=window,
-                              nb_substeps=1, min_len=min_len,
-                              return_preds=True)
-    padded = batch
-    n_chunks = padded.batch_size // chunk_size
-    per_peak = tb.loc_err2.shape[0] > 1
+        return run(slice(None))
     logls, preds = [], []
-    for c in range(n_chunks):
-        sl = slice(c * chunk_size, (c + 1) * chunk_size)
-        tb_c = tb._replace(
-            loc_err2=tb.loc_err2[sl] if per_peak else tb.loc_err2,
-            sig2=tb.sig2[sl] if tb.sig2.ndim == 3 else tb.sig2)
-        out = engine.forward(padded.positions[sl], padded.lengths[sl],
-                             padded.is_bleached[sl], tb_c, window=window,
-                             nb_substeps=1, min_len=min_len,
-                             return_preds=True)
+    for c in range(batch.batch_size // chunk_size):
+        out = run(slice(c * chunk_size, (c + 1) * chunk_size))
         logls.append(out[0])
         preds.append(out[1])
     return (jnp.concatenate(logls)[:B], jnp.concatenate(preds)[:B])

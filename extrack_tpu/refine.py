@@ -571,18 +571,18 @@ def position_refinement(all_tracks: Dict[str, np.ndarray],
     if batch.batch_size > chunk:
         batch = batch.pad_batch_to(
             int(np.ceil(batch.batch_size / chunk)) * chunk)
-        if batch.loc_err is not None:
-            batch.loc_err = jnp.where(batch.loc_err > 0, batch.loc_err, 1.0)
     if isinstance(LocErr, dict):
         loc_err2 = batch.loc_err ** 2
     else:
-        loc_err2 = jnp.asarray(np.asarray(LocErr, dtype=np.float64) ** 2,
-                               dtype=batch.positions.dtype)
-        while loc_err2.ndim < 3:
-            loc_err2 = loc_err2[None]
+        # host-side prep: eager device ops cost seconds through the tunnel
+        loc_err2 = np.asarray(LocErr, dtype=np.float64) ** 2
+        loc_err2 = jnp.asarray(loc_err2.reshape(
+            (1,) * (3 - loc_err2.ndim) + loc_err2.shape),
+            dtype=batch.positions.dtype)
     sig2_states = jnp.asarray(np.asarray(ds) ** 2,
                               dtype=batch.positions.dtype)
-    log_trans = jnp.log(jnp.asarray(TrMat, dtype=batch.positions.dtype))
+    log_trans = jnp.asarray(np.log(np.asarray(TrMat, dtype=np.float64)),
+                            dtype=batch.positions.dtype)
     per_peak = isinstance(LocErr, dict)
     mu_parts, sig_parts = [], []
     for c in range(int(np.ceil(batch.batch_size / chunk))):

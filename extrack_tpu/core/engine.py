@@ -16,7 +16,14 @@ fused, extrack/tracking.py:109-318,361-423): sequences equal on the last W
 sub-steps are merged into a weighted single Gaussian.  Early steps, where the
 reference register is still small, are reproduced exactly by initializing the
 K slots as duplicated copies carrying a ``-r*log(S)`` offset so that each
-no-op fusion of a dummy axis restores the exact log-probability.
+no-op fusion of a dummy axis restores the exact log-probability.  The
+reference skips the fusion at its last loop step (tracking.py:255,
+"do not fuse sequences at the last step"), so its final integral runs on
+the *pre-fusion* width-(W+1) register; the scan reproduces this by closing
+each track one step early, on the pre-fusion children of step L-2
+(``logL parity vs the transcribed reference loop <= 1e-12``,
+tests/test_reference_parity.py).  A side effect: the engine is exact for
+tracks up to W+1 frames, not just W.
 
 Tracks of different lengths run in one padded batch: each track's final frame
 triggers its closing integral + bleaching term, after which its carry is
@@ -141,6 +148,8 @@ def forward(positions,
     lsurv = tables.log_survive.astype(dtype)                          # (A,)
     end_k = _gather_rows(tables.end_ll, spec.prev0_k).astype(
         dtype)[:, None]                                               # (K,1)
+    end_a = _gather_rows(tables.end_ll, state_codes(S, n)[:, 0]
+                         ).astype(dtype)                              # (A,)
     lp0 = init_log_prob(tables.log_trans, tables.log_frac, n)         # (P,)
 
     # displacement variance tables, as (A, G, 1|B) per step
@@ -183,17 +192,21 @@ def forward(positions,
 
     def step(carry, xs):
         m, s2, lp, logl, cat, preds = carry
-        t, x_t, l2_t, sig2_ag = xs                        # x/l2 (D,B)
+        t, x_t, l2_t, x_n, l2_n, sig2_ag = xs             # x/l2 (D,B)
         is_final = (t == lengths - 1)                     # (B,)
         is_interior = (t < lengths - 1)
 
         # -- closing contribution for tracks ending at this frame ----------
+        # (2-frame tracks only; longer tracks close one step early on the
+        # pre-fusion children below, matching the reference's skipped
+        # last-step fusion, tracking.py:255)
         tot = l2_t[:, None, :] + s2                       # (D,K,B)
         quad = -0.5 * jnp.log(2 * jnp.pi * tot) \
             - (x_t[:, None, :] - m) ** 2 / (2 * tot)
         lc = jnp.sum(quad, axis=0)                        # (K,B)
         fin = lp + isbl * end_k + lc
-        logl = logl + jnp.where(is_final, logsumexp(fin, axis=0), 0.0)
+        logl = logl + jnp.where(is_final & (lengths == 2),
+                                logsumexp(fin, axis=0), 0.0)
 
         # -- branch + Gaussian update (a-independent parts once per parent) -
         new_m = (m * l2_t[:, None, :] + x_t[:, None, :] * s2) / tot
@@ -203,6 +216,20 @@ def forward(positions,
         base = (lp + lc).reshape(G, A, B)                 # o = axis 1
         lp_child = (base[None] + lt_b + gate * lsurv_b)   # (A,G,O,B)
 
+        # -- look-ahead closing on the PRE-fusion children ------------------
+        # tracks ending at frame t+1 integrate it against the width-(W+n)
+        # child register before any fusion (the reference's final state)
+        new_mv4 = new_m.reshape(D, G, A, B)
+        tailv4 = tail.reshape(D, G, A, B)
+        totn = (sig2_ag[None, :, :, None] + tailv4[:, None]
+                + l2_n[:, None, None, None, :])           # (D,A,G,O,B)
+        lcn = jnp.sum(-0.5 * jnp.log(2 * jnp.pi * totn)
+                      - (x_n[:, None, None, None, :]
+                         - new_mv4[:, None]) ** 2 / (2 * totn), axis=0)
+        fin_n = lp_child + isbl * end_a[:, None, None, None] + lcn
+        logl = logl + jnp.where(t == lengths - 2,
+                                logsumexp(fin_n, axis=(0, 1, 2)), 0.0)
+
         # fuse the oldest sub-states: weighted moment match over O
         mx = jnp.max(lp_child, axis=2, keepdims=True)
         safe = jnp.where(jnp.isfinite(mx), mx, 0.0)
@@ -211,11 +238,9 @@ def forward(positions,
         wn = w / jnp.maximum(sw[:, :, None], _TINY)       # (A,G,O,B)
         lp_new = (jnp.squeeze(safe, 2) + jnp.log(jnp.maximum(sw, _TINY))
                   + jnp.where(jnp.isfinite(mx[:, :, 0]), 0.0, -jnp.inf))
-        new_mv = new_m.reshape(D, G, A, B)
-        tailv = tail.reshape(D, G, A, B)
-        m_f = sum(wn[None, :, :, o] * new_mv[:, None, :, o]
+        m_f = sum(wn[None, :, :, o] * new_mv4[:, None, :, o]
                   for o in range(A))                      # (D,A,G,B)
-        tail_f = sum(wn[None, :, :, o] * tailv[:, None, :, o]
+        tail_f = sum(wn[None, :, :, o] * tailv4[:, None, :, o]
                      for o in range(A))
         s2_new = sig2_ag[None] + tail_f                   # (D,A,G,B)
 
@@ -249,7 +274,11 @@ def forward(positions,
         step = jax.checkpoint(step)
 
     ts = jnp.arange(1, T, dtype=jnp.int32)
-    xs = (ts, xs_pos[1:], xs_l2[1:],
+    # next-frame inputs for the look-ahead closing (last row never read:
+    # t = lengths-2 <= T-2 for any track)
+    xs_pos_n = jnp.concatenate([xs_pos[2:], xs_pos[-1:]], axis=0)
+    xs_l2_n = jnp.concatenate([xs_l2[2:], xs_l2[-1:]], axis=0)
+    xs = (ts, xs_pos[1:], xs_l2[1:], xs_pos_n, xs_l2_n,
           jax.vmap(sig2_ag_at)(ts) if R > 1
           else jnp.broadcast_to(sig2_ag_at(0), (T - 1,)
                                 + sig2_ag_at(0).shape))

@@ -73,8 +73,37 @@ def build_slot_tables(tables: ModelTables, window: int, nb_substeps: int):
     return lp0, sig2, lt, lsurv, end, sig2
 
 
+def build_next_tables(tables: ModelTables, window: int, nb_substeps: int):
+    """(ltn, s2n, lsn, endn) as (K, A) tables for the look-ahead closing:
+    column ``a`` describes the pre-fusion child of slot k under new
+    sub-state pattern ``a`` (chain transitions, child displacement
+    variance, survival, folded end term).  Tracks of length L >= 3 close
+    against these children at step L-2, matching the reference's skipped
+    last-step fusion (tracking.py:255; see core.engine docstring)."""
+    S = tables.nb_states
+    W, n = window, nb_substeps
+    K, A = S ** W, S ** n
+    k = np.arange(K)[:, None]
+    a = np.arange(A)[None, :]
+    newest_k = k // S ** (W - 1)
+
+    def dig_a(i):                 # i-th newest digit of pattern a
+        return (a // S ** (n - 1 - i)) % S
+
+    log_T = tables.log_trans
+    ltn = log_T[newest_k, dig_a(n - 1)]
+    for j in range(n - 1):
+        ltn = ltn + log_T[dig_a(j + 1), dig_a(j)]
+    sig2_row = tables.sig2.reshape(-1, tables.sig2.shape[-1])[0]
+    s2n = sig2_row[a * S + newest_k]                      # (K, A)
+    lsn = jnp.broadcast_to(tables.log_survive[None, :], (K, A))
+    endn = jnp.broadcast_to(tables.end_ll[a // S ** (n - 1)], (K, A))
+    return ltn, s2n, lsn, endn
+
+
 def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
-            lsv_ref, endv_ref, s2v_ref, out_ref, m_sc, s2_sc, lp_sc,
+            lsv_ref, endv_ref, s2v_ref, ltn_ref, s2n_ref, lsn_ref, endn_ref,
+            out_ref, m_sc, s2_sc, lp_sc,
             *, T, D, K, A, G, BLK, min_len):
     lengths = len_ref[0, :]                      # (BLK,) int32
     isbl = isbl_ref[0, :][None, :]               # (1, BLK)
@@ -86,7 +115,8 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
 
     def body(t, acc):
         lp = lp_sc[:]
-        lc = jnp.zeros((K, BLK), jnp.float32)
+        prod = jnp.ones((K, BLK), jnp.float32)
+        quad = jnp.zeros((K, BLK), jnp.float32)
         new_m = [None] * D
         tail = [None] * D
         for d in range(D):
@@ -96,15 +126,47 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
             tot = l2t + s2d
             inv = 1.0 / tot
             diff = x - md
-            lc += -0.5 * jnp.log(2 * np.pi * tot) - 0.5 * diff * diff * inv
+            prod *= 2 * np.pi * tot          # one log of the product below
+            quad += 0.5 * diff * diff * inv
             new_m[d] = (md * l2t + x * s2d) * inv
             tail[d] = l2t * s2d * inv
+        lc = -0.5 * jnp.log(prod) - quad
 
-        # closing term for tracks whose last frame is t
+        # closing term for 2-frame tracks ending at t (longer tracks close
+        # one step early on the pre-fusion children, matching the
+        # reference's skipped last-step fusion — see core.engine)
         fin = lp + isbl * endv_ref[:] + lc
         mx = jnp.max(fin, axis=0, keepdims=True)
         lse = mx + jnp.log(jnp.sum(jnp.exp(fin - mx), axis=0, keepdims=True))
-        acc = acc + jnp.where((t == lengths - 1)[None, :], lse, 0.0)
+        acc = acc + jnp.where(((t == lengths - 1) & (lengths == 2))[None, :],
+                              lse, 0.0)
+
+        # look-ahead closing: tracks ending at frame t+1
+        gate = jnp.where(t + 1 >= min_len, 1.0, 0.0).astype(jnp.float32)
+        tn = jnp.minimum(t + 1, T - 1)
+        base_n = lp + lc
+        sum_n = jnp.zeros((1, BLK), jnp.float32)
+        mx_n = jnp.full((1, BLK), -jnp.inf, jnp.float32)
+        fins = []
+        for a in range(A):
+            prod_n = jnp.ones((K, BLK), jnp.float32)
+            quad_n = jnp.zeros((K, BLK), jnp.float32)
+            for d in range(D):
+                xn = xs_ref[pl.ds(tn * D + d, 1), :]
+                l2n = l2_ref[pl.ds(tn * D + d, 1), :]
+                totn = s2n_ref[:, a:a + 1] + tail[d] + l2n
+                diffn = xn - new_m[d]
+                prod_n *= 2 * np.pi * totn
+                quad_n += 0.5 * diffn * diffn / totn
+            fa = (base_n + ltn_ref[:, a:a + 1] + gate * lsn_ref[:, a:a + 1]
+                  + isbl * endn_ref[:, a:a + 1]
+                  - 0.5 * jnp.log(prod_n) - quad_n)
+            fins.append(fa)
+            mx_n = jnp.maximum(mx_n, jnp.max(fa, axis=0, keepdims=True))
+        for fa in fins:
+            sum_n += jnp.sum(jnp.exp(fa - mx_n), axis=0, keepdims=True)
+        lse_n = mx_n + jnp.log(sum_n)
+        acc = acc + jnp.where((t == lengths - 2)[None, :], lse_n, 0.0)
 
         # fuse the oldest sub-states: reduce over the A-sized middle axis
         # (groups are A consecutive rows: slot k = g*A + o, o = oldest)
@@ -120,7 +182,6 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
         lp_f = mxs + jnp.log(jnp.maximum(sw, _TINY))
 
         keep = (t < lengths - 1)[None, :]
-        gate = jnp.where(t + 1 >= min_len, 1.0, 0.0).astype(jnp.float32)
         for d in range(D):
             nm3 = new_m[d].reshape(G, A, BLK)
             tl3 = tail[d].reshape(G, A, BLK)
@@ -176,6 +237,8 @@ def forward_pallas(positions,
     lp0, s20, lt, lsurv, end, sig2v = [
         v.astype(f32)[:, None]
         for v in build_slot_tables(tables, W, n)]
+    ltn, s2n, lsn, endn = [v.astype(f32)
+                           for v in build_next_tables(tables, W, n)]
 
     BLK = min(block, max(128, 1 << (B - 1).bit_length()))
     Bp = int(np.ceil(B / BLK)) * BLK
@@ -199,17 +262,20 @@ def forward_pallas(positions,
                             memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((K, 1), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((K, A), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[track_spec, track_spec, row_spec, row_spec,
                   vec_spec, vec_spec, vec_spec, vec_spec, vec_spec,
-                  vec_spec],
+                  vec_spec, mat_spec, mat_spec, mat_spec, mat_spec],
         out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((1, Bp), f32),
         scratch_shapes=[pltpu.VMEM((D, K, BLK), f32),
                         pltpu.VMEM((D, K, BLK), f32),
                         pltpu.VMEM((K, BLK), f32)],
         interpret=interpret,
-    )(xs, l2, lengths, isbl, lp0, s20, lt, lsurv, end, sig2v)
+    )(xs, l2, lengths, isbl, lp0, s20, lt, lsurv, end, sig2v,
+      ltn, s2n, lsn, endn)
     return out[0, :B]

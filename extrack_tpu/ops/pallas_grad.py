@@ -27,7 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from extrack_tpu.core.tables import ModelTables
-from extrack_tpu.ops.pallas_engine import build_slot_tables
+from extrack_tpu.ops.pallas_engine import build_next_tables, build_slot_tables
 
 _TINY = 1e-30
 
@@ -47,7 +47,8 @@ def _make_step(D, K, A, G, min_len):
     Mirrors ops/pallas_engine._kernel's body exactly.
     """
 
-    def step(carry, x, l2, t, lengths, isbl, ltv, lsv, endv, s2v):
+    def step(carry, x, l2, x_n, l2_n, t, lengths, isbl, ltv, lsv, endv,
+             s2v, ltn, s2n, lsn, endn):
         m, s2, lp, acc = carry
         lc = jnp.zeros(lp.shape, lp.dtype)
         new_m, tail = [], []
@@ -60,10 +61,36 @@ def _make_step(D, K, A, G, min_len):
             new_m.append((m[d] * l2[d] + x[d] * s2[d]) * inv)
             tail.append(l2[d] * s2[d] * inv)
 
+        # 2-frame tracks close here; longer tracks close one step early on
+        # the pre-fusion children (reference's skipped last-step fusion)
         fin = lp + isbl * endv + lc
         mx = jax.lax.stop_gradient(jnp.max(fin, axis=0, keepdims=True))
         lse = mx + jnp.log(jnp.sum(jnp.exp(fin - mx), axis=0, keepdims=True))
-        acc = acc + jnp.where((t == lengths - 1)[None, :], lse, 0.0)
+        acc = acc + jnp.where(((t == lengths - 1) & (lengths == 2))[None, :],
+                              lse, 0.0)
+
+        gate = jnp.where(t + 1 >= min_len, 1.0, 0.0).astype(lp.dtype)
+        base_n = lp + lc
+        fins = []
+        mx_n = jnp.full((1, lp.shape[1]), -jnp.inf, lp.dtype)
+        for a in range(A):
+            lcn = jnp.zeros(lp.shape, lp.dtype)
+            for d in range(D):
+                totn = s2n[:, a:a + 1] + tail[d] + l2_n[d]
+                diffn = x_n[d] - new_m[d]
+                lcn = lcn + (-0.5 * jnp.log(2 * np.pi * totn)
+                             - 0.5 * diffn * diffn / totn)
+            fa = (base_n + ltn[:, a:a + 1] + gate * lsn[:, a:a + 1]
+                  + isbl * endn[:, a:a + 1] + lcn)
+            fins.append(fa)
+            mx_n = jnp.maximum(mx_n, jnp.max(fa, axis=0, keepdims=True))
+        mx_n = jax.lax.stop_gradient(mx_n)
+        sum_n = jnp.zeros((1, lp.shape[1]), lp.dtype)
+        for fa in fins:
+            sum_n = sum_n + jnp.sum(jnp.exp(fa - mx_n), axis=0,
+                                    keepdims=True)
+        acc = acc + jnp.where((t == lengths - 2)[None, :],
+                              mx_n + jnp.log(sum_n), 0.0)
 
         score3 = (lp + lc).reshape(G, A, -1)
         mxs = jax.lax.stop_gradient(jnp.max(score3, axis=1))
@@ -75,7 +102,6 @@ def _make_step(D, K, A, G, min_len):
         lp_f = mxs + jnp.log(jnp.maximum(sw, _TINY))
 
         keep = (t < lengths - 1)[None, :]
-        gate = jnp.where(t + 1 >= min_len, 1.0, 0.0).astype(lp.dtype)
         m_out, s2_out = [], []
         for d in range(D):
             nm3 = new_m[d].reshape(G, A, -1)
@@ -99,18 +125,25 @@ def _make_step(D, K, A, G, min_len):
 
 
 def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
-                 ltv_ref, lsv_ref, endv_ref, s2v_ref,
+                 ltv_ref, lsv_ref, endv_ref, s2v_ref, ltn_ref, s2n_ref,
+                 lsn_ref, endn_ref,
                  logl_ref, ct_l2_ref, ct_lp0_ref, ct_s20_ref, ct_ltv_ref,
-                 ct_lsv_ref, ct_endv_ref, ct_s2v_ref,
+                 ct_lsv_ref, ct_endv_ref, ct_s2v_ref, ct_ltn_ref,
+                 ct_s2n_ref, ct_lsn_ref, ct_endn_ref,
                  mh, s2h, lph,
                  *, T, D, K, A, G, BLK, min_len):
     lengths = len_ref[0, :].astype(jnp.int32)
     isbl = isbl_ref[0, :][None, :]
     step = _make_step(D, K, A, G, min_len)
     ltv, lsv, endv, s2v = (ltv_ref[:], lsv_ref[:], endv_ref[:], s2v_ref[:])
+    ltn, s2n, lsn, endn = (ltn_ref[:], s2n_ref[:], lsn_ref[:], endn_ref[:])
 
     def read_td(ref, t):
         return jnp.stack([ref[pl.ds(t * D + d, 1), :] for d in range(D)])
+
+    def read_next(ref, t):
+        tn = jnp.minimum(t + 1, T - 1)
+        return jnp.stack([ref[pl.ds(tn * D + d, 1), :] for d in range(D)])
 
     # ---- forward, checkpointing the carry per step ------------------------
     m = jnp.stack([jnp.broadcast_to(xs_ref[pl.ds(d, 1), :], (K, BLK))
@@ -124,46 +157,62 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
         mh[pl.ds(t - 1, 1)] = m[None]
         s2h[pl.ds(t - 1, 1)] = s2[None]
         lph[pl.ds(t - 1, 1)] = lp[None]
-        return step(carry, read_td(xs_ref, t), read_td(l2_ref, t), t,
-                    lengths, isbl, ltv, lsv, endv, s2v)
+        return step(carry, read_td(xs_ref, t), read_td(l2_ref, t),
+                    read_next(xs_ref, t), read_next(l2_ref, t), t,
+                    lengths, isbl, ltv, lsv, endv, s2v, ltn, s2n, lsn, endn)
 
     m, s2, lp, acc = jax.lax.fori_loop(1, T, fwd_body, (m, s2, lp, acc))
     logl_ref[:] = acc
 
     # ---- backward: per-step pullbacks -------------------------------------
     zK = jnp.zeros((K, 1), jnp.float32)
+    zKA = jnp.zeros((K, A), jnp.float32)
     ones_acc = jnp.ones((1, BLK), jnp.float32)
 
     def bwd_body(i, ct):
         t = T - 1 - i
-        ct_m, ct_s2, ct_lp, ct_ltv, ct_lsv, ct_endv, ct_s2v = ct
+        (ct_m, ct_s2, ct_lp, ct_ltv, ct_lsv, ct_endv, ct_s2v,
+         ct_ltn, ct_s2n, ct_lsn, ct_endn) = ct
         carry_t = (mh[pl.ds(t - 1, 1)][0], s2h[pl.ds(t - 1, 1)][0],
                    lph[pl.ds(t - 1, 1)][0],
                    jnp.zeros((1, BLK), jnp.float32))
         x = read_td(xs_ref, t)
         l2 = read_td(l2_ref, t)
+        x_n = read_next(xs_ref, t)
+        l2_n = read_next(l2_ref, t)
 
-        def f(carry, l2_, ltv_, lsv_, endv_, s2v_):
-            return step(carry, x, l2_, t, lengths, isbl, ltv_, lsv_, endv_,
-                        s2v_)
+        def f(carry, l2_, l2n_, ltv_, lsv_, endv_, s2v_, ltn_, s2n_, lsn_,
+              endn_):
+            return step(carry, x, l2_, x_n, l2n_, t, lengths, isbl, ltv_,
+                        lsv_, endv_, s2v_, ltn_, s2n_, lsn_, endn_)
 
-        _, pull = jax.vjp(f, carry_t, l2, ltv, lsv, endv, s2v)
-        d_carry, d_l2, d_ltv, d_lsv, d_endv, d_s2v = pull(
-            (ct_m, ct_s2, ct_lp, ones_acc))
+        _, pull = jax.vjp(f, carry_t, l2, l2_n, ltv, lsv, endv, s2v,
+                          ltn, s2n, lsn, endn)
+        (d_carry, d_l2, d_l2n, d_ltv, d_lsv, d_endv, d_s2v, d_ltn, d_s2n,
+         d_lsn, d_endn) = pull((ct_m, ct_s2, ct_lp, ones_acc))
+        # row t is set here; the l2_{t+1} cotangent adds to row t+1, which
+        # iteration t+1 (already executed — the walk is descending) set
+        tn = jnp.minimum(t + 1, T - 1)
         for d in range(D):
             ct_l2_ref[pl.ds(t * D + d, 1), :] = d_l2[d]
+        for d in range(D):
+            ct_l2_ref[pl.ds(tn * D + d, 1), :] += jnp.where(
+                t + 1 <= T - 1, d_l2n[d], 0.0)
         return (d_carry[0], d_carry[1], d_carry[2],
                 ct_ltv + d_ltv, ct_lsv + d_lsv, ct_endv + d_endv,
-                ct_s2v + d_s2v)
+                ct_s2v + d_s2v, ct_ltn + d_ltn, ct_s2n + d_s2n,
+                ct_lsn + d_lsn, ct_endn + d_endn)
 
     ct0 = (jnp.zeros((D, K, BLK), jnp.float32),
            jnp.zeros((D, K, BLK), jnp.float32),
            jnp.zeros((K, BLK), jnp.float32),
-           zK, zK, zK, zK)
+           zK, zK, zK, zK, zKA, zKA, zKA, zKA)
     ct = jax.lax.fori_loop(0, T - 1, bwd_body, ct0)
     ct_s2, ct_lp = ct[1], ct[2]
 
     # ---- init pullback: m0=x0 (no param), s2_0=l2_0+s20, lp_0=lp0 ----------
+    # rows 0..D-1 are never touched by the backward loop (t >= 1 and the
+    # look-ahead adds only to rows >= 2D), so plain stores are correct
     for d in range(D):
         ct_l2_ref[pl.ds(d, 1), :] = jnp.sum(ct_s2[d], axis=0, keepdims=True)
     ct_lp0 = jnp.sum(ct_lp, axis=1, keepdims=True)
@@ -180,6 +229,10 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
         ct_lsv_ref[:] = jnp.zeros((K, 1), jnp.float32)
         ct_endv_ref[:] = jnp.zeros((K, 1), jnp.float32)
         ct_s2v_ref[:] = jnp.zeros((K, 1), jnp.float32)
+        ct_ltn_ref[:] = jnp.zeros((K, A), jnp.float32)
+        ct_s2n_ref[:] = jnp.zeros((K, A), jnp.float32)
+        ct_lsn_ref[:] = jnp.zeros((K, A), jnp.float32)
+        ct_endn_ref[:] = jnp.zeros((K, A), jnp.float32)
 
     ct_lp0_ref[:] += ct_lp0
     ct_s20_ref[:] += ct_s20
@@ -187,10 +240,14 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
     ct_lsv_ref[:] += ct[4]
     ct_endv_ref[:] += ct[5]
     ct_s2v_ref[:] += ct[6]
+    ct_ltn_ref[:] += ct[7]
+    ct_s2n_ref[:] += ct[8]
+    ct_lsn_ref[:] += ct[9]
+    ct_endn_ref[:] += ct[10]
 
 
 def _grad_call(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
-               s2v):
+               s2v, ltn, s2n, lsn, endn):
     T, D, K, A, G, BLK, min_len = static
     Bp = xs.shape[1]
     kernel = functools.partial(_grad_kernel, T=T, D=D, K=K, A=A, G=G,
@@ -201,45 +258,51 @@ def _grad_call(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
                             memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((K, 1), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((K, A), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(Bp // BLK,),
         in_specs=[track_spec, track_spec, row_spec, row_spec]
-        + [vec_spec] * 6,
-        out_specs=[row_spec, track_spec] + [vec_spec] * 6,
+        + [vec_spec] * 6 + [mat_spec] * 4,
+        out_specs=[row_spec, track_spec] + [vec_spec] * 6 + [mat_spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((1, Bp), jnp.float32),
                    jax.ShapeDtypeStruct((T * D, Bp), jnp.float32)]
-        + [jax.ShapeDtypeStruct((K, 1), jnp.float32)] * 6,
+        + [jax.ShapeDtypeStruct((K, 1), jnp.float32)] * 6
+        + [jax.ShapeDtypeStruct((K, A), jnp.float32)] * 4,
         scratch_shapes=[pltpu.VMEM((T - 1, D, K, BLK), jnp.float32),
                         pltpu.VMEM((T - 1, D, K, BLK), jnp.float32),
                         pltpu.VMEM((T - 1, K, BLK), jnp.float32)],
         interpret=INTERPRET,
-    )(xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv, s2v)
+    )(xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv, s2v,
+      ltn, s2n, lsn, endn)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _neg_logl(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
-              s2v):
+              s2v, ltn, s2n, lsn, endn):
     out = _grad_call(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv,
-                     endv, s2v)
+                     endv, s2v, ltn, s2n, lsn, endn)
     return -jnp.sum(out[0])
 
 
 def _neg_logl_fwd(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
-                  s2v):
+                  s2v, ltn, s2n, lsn, endn):
     out = _grad_call(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv,
-                     endv, s2v)
+                     endv, s2v, ltn, s2n, lsn, endn)
     value = -jnp.sum(out[0])
-    residuals = ((xs, lengths_f, isbl), out[1], tuple(out[2:]))
+    residuals = ((xs, lengths_f, isbl), out[1], tuple(out[2:8]),
+                 tuple(out[8:]))
     return value, residuals
 
 
 def _neg_logl_bwd(static, residuals, g):
-    (xs, lengths_f, isbl), ct_l2, ct_vecs = residuals
+    (xs, lengths_f, isbl), ct_l2, ct_vecs, ct_mats = residuals
     s = -g
     return (jnp.zeros_like(xs), s * ct_l2, jnp.zeros_like(lengths_f),
-            jnp.zeros_like(isbl)) + tuple(s * c[:, 0, None] * 1.0
-                                          for c in ct_vecs)
+            jnp.zeros_like(isbl)) \
+        + tuple(s * c[:, 0, None] * 1.0 for c in ct_vecs) \
+        + tuple(s * c for c in ct_mats)
 
 
 _neg_logl_bwd_outputs_note = """bwd returns cotangents for
@@ -284,6 +347,8 @@ def neg_log_likelihood(positions, lengths, is_bleached, tables: ModelTables,
 
     lp0, s20, lt, lsurv, end, sig2v = [
         v.astype(f32)[:, None] for v in build_slot_tables(tables, W, n)]
+    ltn, s2n, lsn, endn = [v.astype(f32)
+                           for v in build_next_tables(tables, W, n)]
     # s20 and sig2v come from the same table; passing the same traced array
     # twice makes JAX sum both cotangents into its source automatically
 
@@ -302,4 +367,5 @@ def neg_log_likelihood(positions, lengths, is_bleached, tables: ModelTables,
 
     static = (T, D, K, A, G, BLK, min_len)
     return _neg_logl(static, xs, l2, lengths_f, isbl,
-                     lp0, sig2v, lt, lsurv, end, sig2v)
+                     lp0, sig2v, lt, lsurv, end, sig2v,
+                     ltn, s2n, lsn, endn)

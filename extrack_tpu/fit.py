@@ -15,6 +15,7 @@ reference does this only manually in its tutorial notebook (SURVEY.md item 9).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Callable, Dict, Optional
 
@@ -237,12 +238,17 @@ def fit(batch: tdata.TrackBatch,
     std_errors = None
     if compute_errors:
         # the Hessian needs second-order AD, which the Pallas custom-VJP
-        # path doesn't provide — use the XLA objective at the optimum
-        neg_logl_x = make_objective(batch, spec, dt, nb_states, cell_dims,
-                                    nb_substeps, window, min_len,
-                                    matrix_type, input_loc_err, sharded,
-                                    "xla")
-        std_errors = fisher_errors(neg_logl_x, fitted, res.x)
+        # path doesn't provide — use the XLA objective at the optimum.
+        # logL is additive over tracks, so the observed information is
+        # accumulated over jitted chunks: memory stays bounded at any
+        # dataset size (10^6-track fits included)
+        batches_e = batch if isinstance(batch, (list, tuple)) else [batch]
+        H = hessian_chunked(batches_e, spec, res.x, dt, nb_states,
+                            cell_dims=cell_dims, nb_substeps=nb_substeps,
+                            window=window, min_len=min_len,
+                            matrix_type=matrix_type,
+                            input_loc_err=input_loc_err)
+        std_errors = fisher_errors_from_hessian(H, fitted, res.x)
 
     return FitResult(params=fitted, logl=-float(res.fun),
                      success=bool(res.success), n_evals=n_evals[0],
@@ -250,16 +256,63 @@ def fit(batch: tdata.TrackBatch,
                      std_errors=std_errors, residual=float(res.fun))
 
 
-def fisher_errors(neg_logl, spec: tparams.Parameters, z_opt) -> Dict[str, float]:
-    """Parameter standard errors from the inverse observed Fisher information.
+def hessian_chunked(batches, spec: tparams.Parameters, z_opt, dt,
+                    nb_states: int, *, cell_dims=(1.0,), nb_substeps=1,
+                    window=6, min_len=3, matrix_type=1,
+                    input_loc_err=False, chunk: int = 65536) -> np.ndarray:
+    """Observed-information Hessian of -logL at z_opt, accumulated over
+    track chunks (one jitted second-order program reused per chunk shape).
 
-    The covariance of the free *natural* parameters is J H^-1 J^T with H the
-    Hessian in unconstrained space and J the bijection Jacobian at the
-    optimum.  Replaces the tutorial-notebook finite-difference Hessian
-    (SURVEY.md section 0, capability 9).
+    Padded chunk rows carry length 0 and contribute exactly zero, so the
+    sum equals the full-batch Hessian while memory stays O(chunk).
     """
+    z = jnp.asarray(z_opt)
+    if min_len is None:
+        lens = np.concatenate([np.asarray(b.lengths) for b in batches])
+        min_len = int(lens[lens >= 2].min()) if (lens >= 2).any() else 2
+
+    @functools.partial(jax.jit, static_argnames=("use_loc_err",))
+    def chunk_hess(z, pos, lens, isbl, loc_err_b, dt_arr, use_loc_err):
+        def nl(z):
+            values = spec.resolve(spec.from_unconstrained(z))
+            Ds, Fs, rates, loc_err, pBL = tparams.extract_arrays(
+                values, nb_states,
+                input_loc_err=loc_err_b if use_loc_err else None)
+            tb = tables.build_tables(Ds, loc_err, Fs, rates, pBL, dt_arr,
+                                     cell_dims=tuple(cell_dims),
+                                     nb_substeps=nb_substeps,
+                                     matrix_type=matrix_type)
+            return -jnp.sum(engine.forward(
+                pos, lens, isbl, tb, window=window,
+                nb_substeps=nb_substeps, min_len=min_len))
+        return jax.hessian(nl)(z)
+
+    H = np.zeros((len(z), len(z)))
+    for b in batches:
+        bb = b
+        if bb.batch_size > chunk:
+            bb = bb.pad_batch_to(
+                int(np.ceil(bb.batch_size / chunk)) * chunk)
+        n_chunks = max(1, bb.batch_size // min(chunk, bb.batch_size))
+        step_b = bb.batch_size // n_chunks
+        dt_arr = bb.dt if bb.dt is not None else jnp.asarray(dt)
+        for c in range(n_chunks):
+            sl = slice(c * step_b, (c + 1) * step_b)
+            H += np.asarray(chunk_hess(
+                z, bb.positions[sl], bb.lengths[sl], bb.is_bleached[sl],
+                bb.loc_err[sl] if (input_loc_err and bb.loc_err is not None)
+                else None,
+                dt_arr[sl] if dt_arr.ndim > 1 else dt_arr,
+                use_loc_err=input_loc_err and bb.loc_err is not None),
+                dtype=np.float64)
+    return H
+
+
+def fisher_errors_from_hessian(H: np.ndarray, spec: tparams.Parameters,
+                               z_opt) -> Dict[str, float]:
+    """Standard errors of the free natural parameters from a Hessian in
+    unconstrained space: cov = J H^-1 J^T with J the bijection Jacobian."""
     z_opt = jnp.asarray(z_opt)
-    H = np.asarray(jax.hessian(neg_logl)(z_opt), dtype=np.float64)
 
     def natural(z):
         vals = spec.from_unconstrained(z)
@@ -273,6 +326,20 @@ def fisher_errors(neg_logl, spec: tparams.Parameters, z_opt) -> Dict[str, float]
     cov = J @ cov_z @ J.T
     var = np.clip(np.diag(cov), 0.0, np.inf)
     return {n: float(np.sqrt(v)) for n, v in zip(spec.free_names(), var)}
+
+
+def fisher_errors(neg_logl, spec: tparams.Parameters, z_opt) -> Dict[str, float]:
+    """Parameter standard errors from the inverse observed Fisher information.
+
+    The covariance of the free *natural* parameters is J H^-1 J^T with H the
+    Hessian in unconstrained space and J the bijection Jacobian at the
+    optimum.  Replaces the tutorial-notebook finite-difference Hessian
+    (SURVEY.md section 0, capability 9).  For large datasets prefer
+    ``hessian_chunked`` + ``fisher_errors_from_hessian`` (what fit() uses).
+    """
+    z_opt = jnp.asarray(z_opt)
+    H = np.asarray(jax.hessian(neg_logl)(z_opt), dtype=np.float64)
+    return fisher_errors_from_hessian(H, spec, z_opt)
 
 
 # ---------------------------------------------------------------------------

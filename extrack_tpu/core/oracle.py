@@ -132,24 +132,28 @@ def track_log_likelihood(x, loc_err, Ds, Fs, tr_sub, pBL=0.1, is_bleached=1,
 
 
 def segment_histogram(x, loc_err, Ds, Fs, tr_sub, pBL=0.1, is_bleached=1,
-                      cell_dims=(1.0,), dt=0.02, min_len=3):
-    """Exact posterior-weighted segment-length histogram of one track
-    (nb_substeps=1): enumerate sequences, normalize weights per track, add
-    each same-state run's weight to hist[run_len-1, state]."""
+                      cell_dims=(1.0,), dt=0.02, min_len=3, nb_substeps=1):
+    """Exact posterior-weighted segment-length histogram of one track:
+    enumerate hidden sub-state sequences, normalize weights per track, add
+    each same-state run's weight to hist[run_len-1, state].  Segments are
+    decoded at FRAME resolution (the stroboscopic sub-state beta[t*n],
+    matching the frame-state convention of the posteriors)."""
     T = len(x)
     S = len(Ds)
+    n = nb_substeps
     logls, seqs = track_log_likelihood(
         x, loc_err, Ds, Fs, tr_sub, pBL=pBL, is_bleached=is_bleached,
-        cell_dims=cell_dims, nb_substeps=1, dt=dt, min_len=min_len,
+        cell_dims=cell_dims, nb_substeps=n, dt=dt, min_len=min_len,
         return_sequence_logls=True)
     w = np.exp(logls - np.max(logls))
     w /= w.sum()
     hist = np.zeros((T, S))
     for wi, beta in zip(w, seqs):
+        frames = beta[::n]
         run_start = 0
         for t in range(1, T + 1):
-            if t == T or beta[t] != beta[t - 1]:
-                hist[t - run_start - 1, beta[run_start]] += wi
+            if t == T or frames[t] != frames[t - 1]:
+                hist[t - run_start - 1, frames[run_start]] += wi
                 run_start = t
     return hist
 

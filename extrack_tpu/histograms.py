@@ -189,7 +189,8 @@ def segment_histogram(positions, lengths, is_bleached, tb: ModelTables,
 # Window-DP histogram engine (no sorting, no explicit sequences)
 # ---------------------------------------------------------------------------
 
-def _segment_tables(codes: np.ndarray, W: int, T: int, S: int):
+def _segment_tables(codes: np.ndarray, W: int, T: int, S: int,
+                    stride: int = 1):
     """Static per-slot segment decorations of the W-frame window.
 
     For each register slot (its W states known at compile time, oldest ->
@@ -202,8 +203,9 @@ def _segment_tables(codes: np.ndarray, W: int, T: int, S: int):
       * ext (K,): length of the run at the window's oldest end.
     """
     K = codes.shape[0]
+    Wf = (W - 1) // stride + 1        # frames in the window
     seg_int = np.zeros((K, T, S), np.float64)
-    seg_all = np.zeros((W + 1, K, T, S), np.float64)
+    seg_all = np.zeros((Wf + 1, K, T, S), np.float64)
     ext = np.zeros((K,), np.int32)
 
     def runs(a):
@@ -215,21 +217,24 @@ def _segment_tables(codes: np.ndarray, W: int, T: int, S: int):
         return out
 
     for k in range(K):
-        seq = codes[k, ::-1]
+        # frame states oldest -> newest: every stride-th sub-digit starting
+        # from the oldest (frames sit at digit positions W-1, W-1-n, ..., 0)
+        seq = codes[k, ::-1][::stride]
         r = runs(seq)
         ext[k] = r[0][0]
         for ln, s in r[1:]:
             seg_int[k, min(ln, T) - 1, s] += 1
-        for v in range(2, W + 1):
-            for ln, s in runs(seq[W - v:]):
+        for v in range(2, Wf + 1):
+            for ln, s in runs(seq[Wf - v:]):
                 seg_all[v, k, min(ln, T) - 1, s] += 1
     return seg_int, seg_all, ext
 
 
-@functools.partial(jax.jit, static_argnames=("window", "min_len"))
+@functools.partial(jax.jit,
+                   static_argnames=("window", "min_len", "nb_substeps"))
 def window_segment_histogram(positions, lengths, is_bleached,
                              tb: ModelTables, *, window: int = 7,
-                             min_len: int = 3):
+                             min_len: int = 3, nb_substeps: int = 1):
     """Posterior-weighted segment-length histogram via the fixed window.
 
     TPU-first redesign of the reference P_segment_len
@@ -244,6 +249,13 @@ def window_segment_histogram(positions, lengths, is_bleached,
     length the result is the exact full-enumeration histogram.  No
     sorting, no sequence materialization — every step is dense VPU work.
 
+    With nb_substeps = n > 1 the register covers ``window`` hidden
+    SUB-steps ((window-1) % n must be 0 so frames align with the window);
+    segment lengths are decoded at frame resolution (the stroboscopic
+    sub-state of each frame) — the reference's own substep decode reads
+    sub-steps as frames, an upstream inconsistency we do not reproduce
+    (DEVIATIONS.md 3b).
+
     Returns (T, S): row l-1 = expected number of length-l segments per
     state, summed over tracks (per-track posterior normalized).
     """
@@ -253,7 +265,12 @@ def window_segment_histogram(positions, lengths, is_bleached,
     B, T, D = positions.shape
     S = tb.nb_states
     W = window
-    spec = make_register_spec(S, W, 1)
+    n = nb_substeps
+    if (W - 1) % n:
+        raise ValueError(f"window-1 ({W - 1}) must be a multiple of "
+                         f"nb_substeps ({n}) so frames align")
+    Wf = (W - 1) // n + 1             # frames covered by the window
+    spec = make_register_spec(S, W, n)
     K, A, G = spec.K, spec.A, spec.G
     dtype = positions.dtype
     lengths = lengths.astype(jnp.int32)
@@ -262,11 +279,11 @@ def window_segment_histogram(positions, lengths, is_bleached,
     l2 = jnp.broadcast_to(tb.loc_err2.astype(dtype), (B, T, D))
     xs_pos = positions.transpose(1, 2, 0)
     xs_l2 = l2.transpose(1, 2, 0)
-    lt_ag = branch_log_trans(tb.log_trans, 1)[:, spec.prev0_g].astype(dtype)
+    lt_ag = branch_log_trans(tb.log_trans, n)[:, spec.prev0_g].astype(dtype)
     lsurv = tb.log_survive.astype(dtype)
     end_k = jnp.take(tb.end_ll, jnp.asarray(spec.prev0_k),
                      axis=-1).astype(dtype)[:, None]
-    lp0 = init_log_prob(tb.log_trans, tb.log_frac, 1)
+    lp0 = init_log_prob(tb.log_trans, tb.log_frac, n)
 
     sig2 = tb.sig2.astype(dtype)
     R = sig2.shape[-2]
@@ -284,11 +301,12 @@ def window_segment_histogram(positions, lengths, is_bleached,
     # layout note: per-slot histograms are carried flattened as
     # (K, S*T, B) — the trailing (S*T, B) pair is sublane-aligned, while a
     # (..., S, B) trailing pair would pad S=2..4 sublanes to 8 (4x memory)
-    seg_int_np, seg_all_np, ext_np = _segment_tables(spec.codes, W, T, S)
+    seg_int_np, seg_all_np, ext_np = _segment_tables(spec.codes, W, T, S,
+                                                     stride=n)
     seg_int = jnp.asarray(
         seg_int_np.transpose(0, 2, 1).reshape(K, S * T), dtype)
     seg_all = jnp.asarray(
-        seg_all_np.transpose(0, 1, 3, 2).reshape(W + 1, K, S * T), dtype)
+        seg_all_np.transpose(0, 1, 3, 2).reshape(Wf + 1, K, S * T), dtype)
     e_old = jnp.asarray(
         (spec.codes[:, W - 1, None] == np.arange(S)).astype(np.float64),
         dtype)                                              # (K, S)
@@ -298,8 +316,9 @@ def window_segment_histogram(positions, lengths, is_bleached,
     shift_idx = jnp.asarray(np.clip(src, 0, T - 1))         # (K, T)
     shift_ok = jnp.asarray((src >= 0).astype(np.float64), dtype)
     rows_k = jnp.arange(K)[:, None]
-    # parent p = g*A + o: does the run extend across the drop?
-    ext_ok_np = (spec.codes[:, W - 2] == spec.codes[:, W - 1])
+    # parent p = g*A + o: does the FRAME run extend across the drop?
+    # (the next frame is n sub-digits newer than the dropped oldest one)
+    ext_ok_np = (spec.codes[:, W - 1 - n] == spec.codes[:, W - 1])
     ext_ok = jnp.asarray(ext_ok_np.astype(np.float64),
                          dtype).reshape(G, A)[:, :, None, None]
 
@@ -335,8 +354,8 @@ def window_segment_histogram(positions, lengths, is_bleached,
         fin = lp + isbl * end_k + lc
         pbar = jax.nn.softmax(fin, axis=0) \
             * is_final[None, :].astype(dtype)               # (K, B)
-        v = jnp.minimum(t + 1, W)
-        carry_mode = (t + 1 > W)
+        v = jnp.minimum(t + 1, Wf)
+        carry_mode = (t + 1 > Wf)
         seg_static = jnp.where(carry_mode, seg_int,
                                jnp.take(seg_all, v, axis=0))  # (K, S*T)
         boundary = run[rows_k, shift_idx] * shift_ok[..., None]  # (K, T, B)
@@ -368,7 +387,7 @@ def window_segment_histogram(positions, lengths, is_bleached,
         s2_new = sig2_ag[None] + tail_f
 
         # ---- run / hist transport across the drop --------------------------
-        real_drop = (t >= W - 1)
+        real_drop = (t >= Wf - 1)
         shifted = jnp.concatenate(
             [jnp.zeros_like(run[:, :1]), run[:, :-1]], axis=1)
         runv = run.reshape(G, A, T, B)
@@ -445,19 +464,21 @@ def decode_segments(seqs, weights, lengths, nb_states: int):
 @functools.partial(
     jax.jit, static_argnames=("nb_states", "cell_dims", "matrix_type",
                               "engine", "window", "max_nb_states",
-                              "min_len"))
+                              "min_len", "nb_substeps"))
 def _hist_from_values(values, positions, lengths, is_bleached, loc_err_in,
                       dt_arr, *, nb_states, cell_dims, matrix_type, engine,
-                      window, max_nb_states, min_len):
+                      window, max_nb_states, min_len, nb_substeps=1):
     """Parameter extraction + table build + histogram scan in one jit
     (eager table ops cost seconds each through the TPU tunnel)."""
     Ds, Fs, rates, loc_err, pBL = tparams.extract_arrays(
         values, nb_states, input_loc_err=loc_err_in)
     tb = ttables.build_tables(Ds, loc_err, Fs, rates, pBL, dt_arr,
-                              cell_dims=cell_dims, matrix_type=matrix_type)
+                              cell_dims=cell_dims, matrix_type=matrix_type,
+                              nb_substeps=nb_substeps)
     if engine == "window":
         return window_segment_histogram(positions, lengths, is_bleached,
-                                        tb, window=window, min_len=min_len)
+                                        tb, window=window, min_len=min_len,
+                                        nb_substeps=nb_substeps)
     return segment_histogram(positions, lengths, is_bleached, tb,
                              max_nb_states=max_nb_states, min_len=min_len)
 
@@ -477,22 +498,27 @@ def len_hist(all_tracks: Dict[str, np.ndarray],
              chunk: Optional[int] = None) -> np.ndarray:
     """Reference-compatible driver (extrack/histograms.py:294-373).
 
-    Returns (max_track_len, S).  ``workers`` accepted for compatibility;
-    nb_substeps must be 1 (as in every reference usage).
+    Returns (max_track_len, S).  ``workers`` accepted for compatibility.
+    ``window`` counts FRAMES; with nb_substeps = n > 1 the register covers
+    n*(window-1)+1 hidden sub-steps (reference P_segment_len supports
+    substeps in its recursion, extrack/histograms.py:26,64-145; segment
+    decoding here stays at frame resolution, DEVIATIONS.md 3b).
 
     engine='window' (default) uses the sort-free fixed-window DP
     (window_segment_histogram) — orders of magnitude faster on TPU;
     engine='topk' keeps the explicit top-``max_nb_states``-sequences
-    register matching the reference's pruning rule.
+    register matching the reference's pruning rule (nb_substeps=1 only).
     """
     del workers
-    if nb_substeps != 1:
-        raise NotImplementedError("histograms support nb_substeps=1")
+    if nb_substeps != 1 and engine != "window":
+        raise NotImplementedError(
+            "nb_substeps > 1 requires engine='window'")
     batch = tdata.from_dict(all_tracks, input_loc_err=input_LocErr,
                             dt=dt if isinstance(dt, dict) else None)
+    window_sub = nb_substeps * (window - 1) + 1
     if chunk is None:
         # bound the scan carry (~K*S*T floats/track plus ~4x intermediates)
-        K = nb_states ** window
+        K = nb_states ** window_sub
         per_track = K * nb_states * batch.max_len * 4 * 4
         chunk = int(min(65536, max(4096, (1 << 31) // per_track)))
     if batch.batch_size > chunk:
@@ -507,8 +533,8 @@ def len_hist(all_tracks: Dict[str, np.ndarray],
     # round the top-k register up to a lane-friendly multiple of 128
     M = max(int(np.ceil(max_nb_states / 128)) * 128, 128)
     kw = dict(nb_states=nb_states, cell_dims=cell, matrix_type=matrix_type,
-              engine=engine, window=window, max_nb_states=M,
-              min_len=min_len)
+              engine=engine, window=window_sub, max_nb_states=M,
+              min_len=min_len, nb_substeps=nb_substeps)
     hist = None
     for c in range(int(np.ceil(batch.batch_size / chunk))):
         sl = slice(c * chunk, (c + 1) * chunk)

@@ -40,6 +40,7 @@ class Session:
     frame_len_label: int = 10      # and 10 for labeling (ExTrack_GUI.py:1207)
     nb_iters: int = 3              # GUI default 3 fit iterations
     params_values: Optional[Dict[str, float]] = None
+    params_spec: Optional[object] = None   # full Parameters (editor result)
     output_dir: str = "."
 
     # loaded data
@@ -72,6 +73,8 @@ class Session:
     def spec(self):
         from extrack_tpu import params as tparams
         from extrack_tpu.io import exporters
+        if self.params_spec is not None:
+            return self.params_spec.copy()
         if self.params_values:
             spec = tparams.Parameters()
             for k, v in self.params_values.items():
@@ -84,15 +87,47 @@ class Session:
 
 
 # ---------------------------------------------------------------------------
+# parameter editor logic (display-free; the Tk ParameterWindow is a shell)
+# ---------------------------------------------------------------------------
+
+def spec_rows(spec):
+    """Editor rows for a Parameters spec: (name, value, min, max, vary,
+    expr).  Rows with an expr are derived quantities (read-only vary).
+    Equivalent surface to the reference ParameterWindow
+    (ExTrack_GUI.py:1096-1189) plus per-parameter min/max/vary."""
+    return [(name, p.value, p.min, p.max, p.vary, p.expr)
+            for name, p in spec.items()]
+
+
+def apply_rows(spec, rows):
+    """Apply edited (name, value, min, max, vary) rows onto a copy of
+    ``spec``.  Expression-constrained parameters keep their expr (their
+    value is derived; vary edits are ignored, as in lmfit)."""
+    out = spec.copy()
+    for row in rows:
+        name, value, mn, mx, vary = row[:5]
+        if name not in out:
+            continue
+        p = out[name]
+        p.value = float(value)
+        p.min = float(mn)
+        p.max = float(mx)
+        if p.expr is None:
+            p.vary = bool(vary)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # analysis runners (display-free; the Tk shell calls these in a thread)
 # ---------------------------------------------------------------------------
 
 def run_fitting(s: Session, progress=print):
     """Iterated fit like the GUI (nb_iters rounds, ExTrack_GUI.py:289-321);
     with exact gradients one L-BFGS run usually converges, extra iterations
-    simply restart from the optimum."""
+    simply restart from the optimum.  Starts from the parameter-editor spec
+    when one was configured."""
     from extrack_tpu import fit
-    params = None
+    params = s.params_spec.copy() if s.params_spec is not None else None
     res = None
     for it in range(max(1, s.nb_iters)):
         res = fit.param_fitting(
@@ -183,6 +218,65 @@ _ANALYSES = {
 # ---------------------------------------------------------------------------
 # Tk shell
 # ---------------------------------------------------------------------------
+
+class ParameterWindow:
+    """Per-parameter editor: value / min / max / vary for every model
+    parameter, with derived (expr) parameters shown read-only.
+
+    Equivalent of the reference ParameterWindow (ExTrack_GUI.py:1096-1189),
+    which edits values only; bounds and vary flags are first-class here
+    because the fit honors them (sigmoid bound bijections).  On OK the
+    edited spec is stored on the session and used by every analysis and as
+    the warm start for fitting iterations (ExTrack_GUI.py:305-320).
+    """
+
+    def __init__(self, master, session: Session, on_close=None):
+        import tkinter as tk
+        from tkinter import ttk
+        self.session = session
+        self.on_close = on_close
+        self.window = tk.Toplevel(master)
+        self.window.title("Parameters")
+        spec = session.spec()
+        self._spec = spec
+        self._rows = []
+        for c, head in enumerate(("parameter", "value", "min", "max",
+                                  "vary", "expr")):
+            ttk.Label(self.window, text=head).grid(row=0, column=c,
+                                                   padx=4, pady=2)
+        for r, (name, value, mn, mx, vary, expr) in enumerate(
+                spec_rows(spec), start=1):
+            ttk.Label(self.window, text=name).grid(row=r, column=0,
+                                                   sticky="w", padx=4)
+            svars = []
+            for c, val in enumerate((value, mn, mx)):
+                var = tk.StringVar(value=f"{val:.6g}")
+                ttk.Entry(self.window, textvariable=var, width=10).grid(
+                    row=r, column=1 + c, padx=2)
+                svars.append(var)
+            vvar = tk.BooleanVar(value=bool(vary))
+            chk = ttk.Checkbutton(self.window, variable=vvar)
+            chk.grid(row=r, column=4)
+            if expr is not None:
+                chk.state(["disabled"])
+                ttk.Label(self.window, text=expr).grid(row=r, column=5,
+                                                       sticky="w", padx=4)
+            self._rows.append((name, svars, vvar))
+        ttk.Button(self.window, text="OK", command=self.ok_clicked).grid(
+            row=len(self._rows) + 1, column=0, columnspan=6, pady=8)
+
+    def edited_rows(self):
+        return [(name, float(svars[0].get()), float(svars[1].get()),
+                 float(svars[2].get()), bool(vvar.get()))
+                for name, svars, vvar in self._rows]
+
+    def ok_clicked(self):
+        self.session.params_spec = apply_rows(self._spec,
+                                              self.edited_rows())
+        if self.on_close:
+            self.on_close()
+        self.window.destroy()
+
 
 def launch():
     import tkinter as tk
@@ -279,6 +373,16 @@ def launch():
         except Exception as exc:          # surface errors in the log pane
             progress(f"ERROR: {exc!r}")
 
+    def edit_params():
+        try:
+            fill_session()
+            ParameterWindow(root, session,
+                            on_close=lambda: progress("parameters updated"))
+        except Exception as exc:
+            progress(f"ERROR: {exc!r}")
+
+    ttk.Button(frm, text="Edit parameters...",
+               command=edit_params).grid(row=r, column=0)
     ttk.Button(frm, text="Run", command=run).grid(row=r, column=1)
     root.mainloop()
 

@@ -52,3 +52,48 @@ def test_session_all_analyses(csv_path, tmp_path):
     s2.load()
     spec = s2.spec()
     assert spec["D1"].value == pytest.approx(s.params_values["D1"])
+
+
+def test_parameter_editor_rows_roundtrip():
+    from extrack_tpu import params as xp
+    spec = xp.generate_params(nb_states=2, LocErr_type=1, D_max=1.0,
+                              estimated_Ds=[0.001, 0.05])
+    rows = gui.spec_rows(spec)
+    names = [r[0] for r in rows]
+    assert "LocErr" in names and "D0" in names and "pBL" in names
+    # edit: fix LocErr at 0.03 (vary off), widen D bound
+    edited = []
+    for name, value, mn, mx, vary, expr in rows:
+        if name == "LocErr":
+            edited.append((name, 0.03, mn, mx, False))
+        elif name == "D0":
+            edited.append((name, value, mn, 2.0, vary))
+        else:
+            edited.append((name, value, mn, mx, vary))
+    out = gui.apply_rows(spec, edited)
+    assert out["LocErr"].value == 0.03 and out["LocErr"].vary is False
+    assert out["D0"].max == 2.0
+    # derived params keep their expressions
+    for name, p in out.items():
+        if p.expr is not None:
+            assert spec[name].expr == p.expr
+    # original untouched
+    assert spec["LocErr"].vary is True
+
+
+def test_session_uses_edited_spec(csv_path, tmp_path):
+    from extrack_tpu import params as xp
+    s = gui.Session(path=csv_path, dt=0.02, min_len=4, max_len=9,
+                    nb_states=2, cell_dims=(0.5,), frame_len_fit=3,
+                    frame_len_label=4, nb_iters=1, output_dir=str(tmp_path))
+    s.load()
+    spec = xp.generate_params(nb_states=2, LocErr_type=1, D_max=1.0,
+                              estimated_Ds=[0.001, 0.05])
+    rows = [(n, v, mn, mx, False if n == "LocErr" else vy)
+            for n, v, mn, mx, vy, e in gui.spec_rows(spec)]
+    s.params_spec = gui.apply_rows(spec, rows)
+    res = gui.run_fitting(s, progress=lambda *_: None)
+    # LocErr was fixed by the editor: the fit must not move it
+    assert res.params["LocErr"].value == pytest.approx(
+        s.params_spec["LocErr"].value)
+    assert res.params["D1"].value == pytest.approx(0.08, abs=0.03)

@@ -134,39 +134,59 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
 
         # closing term for 2-frame tracks ending at t (longer tracks close
         # one step early on the pre-fusion children, matching the
-        # reference's skipped last-step fusion — see core.engine)
-        fin = lp + isbl * endv_ref[:] + lc
-        mx = jnp.max(fin, axis=0, keepdims=True)
-        lse = mx + jnp.log(jnp.sum(jnp.exp(fin - mx), axis=0, keepdims=True))
-        acc = acc + jnp.where(((t == lengths - 1) & (lengths == 2))[None, :],
-                              lse, 0.0)
+        # reference's skipped last-step fusion — see core.engine).  Only
+        # possible at t == 1: branch the whole computation away otherwise.
+        def close_l2(_):
+            fin = lp + isbl * endv_ref[:] + lc
+            mx = jnp.max(fin, axis=0, keepdims=True)
+            lse = mx + jnp.log(jnp.sum(jnp.exp(fin - mx), axis=0,
+                                       keepdims=True))
+            return jnp.where(((t == lengths - 1)
+                              & (lengths == 2))[None, :], lse, 0.0)
 
-        # look-ahead closing: tracks ending at frame t+1
+        acc = acc + jax.lax.cond(
+            (t == 1) & jnp.any(lengths == 2), close_l2,
+            lambda _: jnp.zeros((1, BLK), jnp.float32), None)
+
+        # look-ahead closing: tracks ending at frame t+1.  The per-child
+        # Gaussian normalizers enter as rsqrt factors on the exp side, so
+        # the whole block costs ONE log; steps where no track in the block
+        # ends at t+1 skip it entirely.
         gate = jnp.where(t + 1 >= min_len, 1.0, 0.0).astype(jnp.float32)
-        tn = jnp.minimum(t + 1, T - 1)
-        base_n = lp + lc
-        sum_n = jnp.zeros((1, BLK), jnp.float32)
-        mx_n = jnp.full((1, BLK), -jnp.inf, jnp.float32)
-        fins = []
-        for a in range(A):
-            prod_n = jnp.ones((K, BLK), jnp.float32)
-            quad_n = jnp.zeros((K, BLK), jnp.float32)
-            for d in range(D):
-                xn = xs_ref[pl.ds(tn * D + d, 1), :]
-                l2n = l2_ref[pl.ds(tn * D + d, 1), :]
-                totn = s2n_ref[:, a:a + 1] + tail[d] + l2n
-                diffn = xn - new_m[d]
-                prod_n *= 2 * np.pi * totn
-                quad_n += 0.5 * diffn * diffn / totn
-            fa = (base_n + ltn_ref[:, a:a + 1] + gate * lsn_ref[:, a:a + 1]
-                  + isbl * endn_ref[:, a:a + 1]
-                  - 0.5 * jnp.log(prod_n) - quad_n)
-            fins.append(fa)
-            mx_n = jnp.maximum(mx_n, jnp.max(fa, axis=0, keepdims=True))
-        for fa in fins:
-            sum_n += jnp.sum(jnp.exp(fa - mx_n), axis=0, keepdims=True)
-        lse_n = mx_n + jnp.log(sum_n)
-        acc = acc + jnp.where((t == lengths - 2)[None, :], lse_n, 0.0)
+
+        def close_lookahead(_):
+            tn = jnp.minimum(t + 1, T - 1)
+            base_n = lp + lc
+            gs, rs = [], []
+            mx_n = jnp.full((1, BLK), -jnp.inf, jnp.float32)
+            for a in range(A):
+                prod_n = jnp.ones((K, BLK), jnp.float32)
+                quad_n = jnp.zeros((K, BLK), jnp.float32)
+                for d in range(D):
+                    xn = xs_ref[pl.ds(tn * D + d, 1), :]
+                    l2n = l2_ref[pl.ds(tn * D + d, 1), :]
+                    totn = s2n_ref[:, a:a + 1] + tail[d] + l2n
+                    diffn = xn - new_m[d]
+                    prod_n *= 2 * np.pi * totn
+                    quad_n += 0.5 * diffn * diffn / totn
+                g = (base_n + ltn_ref[:, a:a + 1]
+                     + gate * lsn_ref[:, a:a + 1]
+                     + isbl * endn_ref[:, a:a + 1] - quad_n)
+                gs.append(g)
+                rs.append(jax.lax.rsqrt(prod_n))
+                # g >= fa (the dropped -0.5*log(prod) is bounded by the
+                # rsqrt factor below), so shifting by max(g) stays stable
+                mx_n = jnp.maximum(mx_n, jnp.max(g, axis=0, keepdims=True))
+            sum_n = jnp.zeros((1, BLK), jnp.float32)
+            for g, r in zip(gs, rs):
+                sum_n += jnp.sum(jnp.exp(g - mx_n) * r, axis=0,
+                                 keepdims=True)
+            lse_n = mx_n + jnp.log(sum_n)
+            return jnp.where((t == lengths - 2)[None, :], lse_n, 0.0)
+
+        acc = acc + jax.lax.cond(
+            jnp.any(t == lengths - 2), close_lookahead,
+            lambda _: jnp.zeros((1, BLK), jnp.float32), None)
 
         # fuse the oldest sub-states: reduce over the A-sized middle axis
         # (groups are A consecutive rows: slot k = g*A + o, o = oldest)

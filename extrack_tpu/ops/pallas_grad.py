@@ -69,25 +69,29 @@ def _make_step(D, K, A, G, min_len):
         acc = acc + jnp.where(((t == lengths - 1) & (lengths == 2))[None, :],
                               lse, 0.0)
 
+        # per-child Gaussian normalizers enter as rsqrt factors on the exp
+        # side (one log for the whole look-ahead; see pallas_engine)
         gate = jnp.where(t + 1 >= min_len, 1.0, 0.0).astype(lp.dtype)
         base_n = lp + lc
-        fins = []
+        gs, rs = [], []
         mx_n = jnp.full((1, lp.shape[1]), -jnp.inf, lp.dtype)
         for a in range(A):
-            lcn = jnp.zeros(lp.shape, lp.dtype)
+            prod_n = jnp.ones(lp.shape, lp.dtype)
+            quad_n = jnp.zeros(lp.shape, lp.dtype)
             for d in range(D):
                 totn = s2n[:, a:a + 1] + tail[d] + l2_n[d]
                 diffn = x_n[d] - new_m[d]
-                lcn = lcn + (-0.5 * jnp.log(2 * np.pi * totn)
-                             - 0.5 * diffn * diffn / totn)
-            fa = (base_n + ltn[:, a:a + 1] + gate * lsn[:, a:a + 1]
-                  + isbl * endn[:, a:a + 1] + lcn)
-            fins.append(fa)
-            mx_n = jnp.maximum(mx_n, jnp.max(fa, axis=0, keepdims=True))
+                prod_n = prod_n * (2 * np.pi * totn)
+                quad_n = quad_n + 0.5 * diffn * diffn / totn
+            g = (base_n + ltn[:, a:a + 1] + gate * lsn[:, a:a + 1]
+                 + isbl * endn[:, a:a + 1] - quad_n)
+            gs.append(g)
+            rs.append(jax.lax.rsqrt(prod_n))
+            mx_n = jnp.maximum(mx_n, jnp.max(g, axis=0, keepdims=True))
         mx_n = jax.lax.stop_gradient(mx_n)
         sum_n = jnp.zeros((1, lp.shape[1]), lp.dtype)
-        for fa in fins:
-            sum_n = sum_n + jnp.sum(jnp.exp(fa - mx_n), axis=0,
+        for g, r in zip(gs, rs):
+            sum_n = sum_n + jnp.sum(jnp.exp(g - mx_n) * r, axis=0,
                                     keepdims=True)
         acc = acc + jnp.where((t == lengths - 2)[None, :],
                               mx_n + jnp.log(sum_n), 0.0)

@@ -88,7 +88,7 @@ def make_objective(batch,
     def _pallas_ok(b):
         from extrack_tpu.ops import pallas_grad
         return (b.dt is None and pallas_grad.supports(
-            b.max_len, b.nb_dims, nb_states, window))
+            b.max_len, b.nb_dims, nb_states, window, nb_substeps))
 
     if compute_engine == "auto":
         # decided per length bucket: long-track buckets exceed the grad

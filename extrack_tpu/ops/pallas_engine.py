@@ -40,6 +40,19 @@ from extrack_tpu.core.tables import ModelTables
 
 _TINY = 1e-30
 
+# Raised Mosaic scoped-VMEM limit (v5e/v5p: 128MiB physical per core) and
+# the budget used to cap block width: register scratch + the unrolled
+# look-ahead's per-branch live arrays all sit in scoped VMEM.
+VMEM_LIMIT = 64 * 1024 * 1024
+_SCRATCH_BUDGET = 40 * 1024 * 1024
+
+
+def forward_block_cap(D: int, K: int, A: int) -> int:
+    """Largest lane-multiple block whose register + look-ahead live set
+    fits the forward kernel's VMEM budget."""
+    per_lane = ((2 * D + 1) + 3 * A + 2 * D + 6) * K * 4
+    return (_SCRATCH_BUDGET // per_lane) // 128 * 128
+
 
 def _dig(k, i, S, W):
     """i-th newest window digit of slot k (digit 0 = newest, at the top)."""
@@ -260,7 +273,12 @@ def forward_pallas(positions,
     ltn, s2n, lsn, endn = [v.astype(f32)
                            for v in build_next_tables(tables, W, n)]
 
-    BLK = min(block, max(128, 1 << (B - 1).bit_length()))
+    cap = forward_block_cap(D, K, A)
+    if cap < 128:
+        raise NotImplementedError(
+            f"register for K={K}, A={A} exceeds the VMEM budget — "
+            "use the XLA engine")
+    BLK = min(block, cap, max(128, 1 << (B - 1).bit_length()))
     Bp = int(np.ceil(B / BLK)) * BLK
     l2 = jnp.broadcast_to(tables.loc_err2.astype(f32), (B, T, D))
     xs = positions.astype(f32).transpose(1, 2, 0).reshape(T * D, B)
@@ -295,6 +313,8 @@ def forward_pallas(positions,
         scratch_shapes=[pltpu.VMEM((D, K, BLK), f32),
                         pltpu.VMEM((D, K, BLK), f32),
                         pltpu.VMEM((K, BLK), f32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(xs, l2, lengths, isbl, lp0, s20, lt, lsurv, end, sig2v,
       ltn, s2n, lsn, endn)

@@ -277,6 +277,8 @@ def _grad_call(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
         scratch_shapes=[pltpu.VMEM((T - 1, D, K, BLK), jnp.float32),
                         pltpu.VMEM((T - 1, D, K, BLK), jnp.float32),
                         pltpu.VMEM((T - 1, K, BLK), jnp.float32)],
+        compiler_params=None if INTERPRET else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=INTERPRET,
     )(xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv, s2v,
       ltn, s2n, lsn, endn)
@@ -315,18 +317,29 @@ _neg_logl_bwd_outputs_note = """bwd returns cotangents for
 _neg_logl.defvjp(_neg_logl_fwd, _neg_logl_bwd)
 
 
-_SCRATCH_BUDGET = 7 * 1024 * 1024   # VMEM bytes for the carry history
+# Mosaic's scoped-VMEM allocation covers the declared scratch (the carry
+# history) PLUS the live set of the in-kernel jax.vjp pullback, which grows
+# with the look-ahead branch count A = S^n.  Blocks are sized so both fit
+# the budget, and the Mosaic limit is raised above its 16MiB default
+# (v5e/v5p have 128MiB of physical VMEM per core).
+VMEM_LIMIT = 64 * 1024 * 1024
+_SCRATCH_BUDGET = 28 * 1024 * 1024
 
 
-def supported_block(T: int, D: int, K: int) -> int:
-    """Largest lane-multiple block whose carry history fits the VMEM budget
-    (0 = unsupported; callers fall back to the XLA engine)."""
-    per_track = (T - 1) * (2 * D + 1) * K * 4
-    return (_SCRATCH_BUDGET // per_track) // 128 * 128
+def supported_block(T: int, D: int, K: int, A: int = 2) -> int:
+    """Largest lane-multiple block whose carry history + pullback live set
+    fits the VMEM budget (0 = unsupported; callers fall back to XLA)."""
+    history = (T - 1) * (2 * D + 1) * K * 4
+    # per-lane pullback live set, calibrated on Mosaic's reported scoped
+    # allocation (19.5MiB at K=81, A=9, D=2, BLK=256)
+    live = (8 * A * D + 40) * K * 4
+    return (_SCRATCH_BUDGET // (history + live)) // 128 * 128
 
 
-def supports(T: int, D: int, nb_states: int, window: int) -> bool:
-    return supported_block(T, D, nb_states ** window) >= 128
+def supports(T: int, D: int, nb_states: int, window: int,
+             nb_substeps: int = 1) -> bool:
+    return supported_block(T, D, nb_states ** window,
+                           nb_states ** nb_substeps) >= 128
 
 
 def neg_log_likelihood(positions, lengths, is_bleached, tables: ModelTables,
@@ -342,7 +355,7 @@ def neg_log_likelihood(positions, lengths, is_bleached, tables: ModelTables,
     f32 = jnp.float32
     if tables.sig2.reshape(-1, tables.sig2.shape[-1]).shape[0] != 1:
         raise NotImplementedError("pallas grad path requires constant dt")
-    max_blk = supported_block(T, D, K)
+    max_blk = supported_block(T, D, K, A)
     if max_blk < 128:
         raise NotImplementedError(
             f"carry history for T={T}, K={K} exceeds the VMEM budget — "

@@ -20,7 +20,19 @@ if jax.config.jax_compilation_cache_dir is None:
                             os.path.expanduser("~/.cache/extrack_tpu_jax"))
     if _cache and _cache != "0":
         jax.config.update("jax_compilation_cache_dir", _cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # On TPU, cache EVERY program: through the remote-compile tunnel
+        # even a trivial eager op costs a multi-second helper roundtrip and
+        # a data-pipeline call dispatches dozens of distinct small programs
+        # (a 10^6-track sim_fov_batch went 225s -> 19s per fresh process).
+        # On CPU the default 1s threshold stands — local compiles are fast
+        # and cached CPU AOT executables warn about host-feature mismatches.
+        _plat = (jax.config.jax_platforms
+                 or os.environ.get("JAX_PLATFORMS", ""))
+        if "cpu" not in str(_plat):
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                              -1)
 
 
 def default_dtype():

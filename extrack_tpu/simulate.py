@@ -252,9 +252,9 @@ import functools as _functools
 
 @_functools.partial(
     jax.jit, static_argnames=("n", "T", "nsub", "R", "min_len", "loc_err_std",
-                              "pBL", "bounded"))
+                              "pBL", "bounded", "nb_dims"))
 def _sim_fov_chunk(key, n, T, nsub, R, min_len, d2sub, cum_tr, cum_frac,
-                   cell, loc_err, loc_err_std, pBL, bounded):
+                   cell, loc_err, loc_err_std, pBL, bounded, nb_dims=3):
     """One fully-jitted simulation chunk: n particles -> n*R padded runs.
 
     Device equivalent of the host path in :func:`sim_fov` (itself mirroring
@@ -264,8 +264,11 @@ def _sim_fov_chunk(key, n, T, nsub, R, min_len, d2sub, cum_tr, cum_frac,
     particle's first R maximal in-FOV runs become fixed-shape output rows
     (length 0 when absent), so every shape is static.
 
-    Returns (positions (n*R, T, 3), states (n*R, T) int8,
-    sigmas (n*R, T, 3), lengths (n*R,) int32).
+    Returns (positions (n*R, T, nb_dims), states (n*R, T) int8,
+    sigmas (n*R, T, nb_dims) or None when loc_err_std == 0,
+    lengths (n*R,) int32).  Outputs are sliced to ``nb_dims`` and the
+    constant-sigma array elided inside the jit so a 10^6-track chunk's HBM
+    footprint stays bounded (a full (n*R, T, 3) sigma copy OOM'd 16GB).
     """
     f32 = jnp.float32
     S = cum_tr.shape[0]
@@ -350,11 +353,17 @@ def _sim_fov_chunk(key, n, T, nsub, R, min_len, d2sub, cum_tr, cum_frac,
         full_idx = idx.reshape((n, R, T) + (1,) * (a.ndim - 2))
         return jnp.take_along_axis(a[:, None], full_idx, axis=2)
 
-    out_pos = jnp.where(tmask[..., None], take(noisy), 0.0)
-    out_sig = jnp.where(tmask[..., None], take(sigma), 1.0)
+    # outputs are flattened to 2D (rows, T*nb_dims): row gathers on a 3D
+    # (N, T, 2) array force an XLA relayout copy that pads the size-2 minor
+    # dim to 128 lanes (64x HBM — OOM at 10^6 tracks); 2D rows tile cleanly
+    out_pos = jnp.where(tmask[..., None], take(noisy[..., :nb_dims]), 0.0)
     out_states = jnp.where(tmask, take(states), 0).astype(jnp.int8)
-    return (out_pos.reshape(n * R, T, 3), out_states.reshape(n * R, T),
-            out_sig.reshape(n * R, T, 3), lens.reshape(n * R))
+    out_sig = None
+    if loc_err_std > 0:
+        out_sig = jnp.where(tmask[..., None], take(sigma[..., :nb_dims]),
+                            1.0).reshape(n * R, T * nb_dims)
+    return (out_pos.reshape(n * R, T * nb_dims),
+            out_states.reshape(n * R, T), out_sig, lens.reshape(n * R))
 
 
 def sim_fov_batch(nb_tracks: int = 10000,
@@ -420,22 +429,30 @@ def sim_fov_batch(nb_tracks: int = 10000,
             jax.random.fold_in(key, c), n, T, nb_sub_steps, R,
             max(2, min_track_len), d2sub, cum_tr, cum_frac,
             jnp.asarray(cell), jnp.asarray(LocErr3),
-            float(LocErr_std), float(pBL), bounded))
+            float(LocErr_std), float(pBL), bounded, nb_dims=nb_dims))
         c += 1
     pos = jnp.concatenate([p[0] for p in parts])
     states = jnp.concatenate([p[1] for p in parts])
-    sig = jnp.concatenate([p[2] for p in parts])
+    sig = (jnp.concatenate([p[2] for p in parts])
+           if LocErr_std > 0 else None)
     lens = jnp.concatenate([p[3] for p in parts])
+    del parts      # free the per-chunk copies before the bucket gathers
 
-    # compact + length-sort on device, then bucket on host metadata only
+    # compact + length-sort on device; only the (T+1)-entry length histogram
+    # crosses to the host (a full lens[order] device->host copy of 8M int32
+    # took ~80s through the remote-TPU tunnel)
+    lens = lens.astype(jnp.int32)
     order = jnp.argsort(-lens)
-    lens_sorted = np.asarray(lens[order])
-    n_alive = int((lens_sorted > 0).sum())
+    counts = np.asarray(jnp.bincount(lens, length=T + 1))
+    n_alive = int(counts[1:].sum())
     if n_alive == 0:
         raise ValueError("no tracks survived the FOV/bleaching filters")
+    widths = np.arange(T, 0, -1)
+    widths = widths[counts[widths] > 0]          # descending, non-empty
+    lens_host = np.repeat(widths, counts[widths])
+    data_max = int(widths[0])
     order = order[:n_alive]
-    lens_host = lens_sorted[:n_alive]
-    data_max = int(lens_host[0])
+    lens_sorted = lens[order]        # device-resident, sliced per bucket
 
     cuts = _bucket_cuts(lens_host, max_buckets)
     batches, states_out = [], []
@@ -443,15 +460,28 @@ def sim_fov_batch(nb_tracks: int = 10000,
     for i1 in cuts:
         t_max = int(lens_host[i0])
         sel = order[i0:i1]
+        lens_b = lens_sorted[i0:i1]
         batches.append(tdata.TrackBatch(
-            positions=pos[sel, :t_max, :nb_dims],
-            lengths=lens[sel],
-            loc_err=(sig[sel, :t_max, :nb_dims]
+            positions=_bucket_take(pos, sel, t_max, T, nb_dims),
+            lengths=lens_b,
+            loc_err=(_bucket_take(sig, sel, t_max, T, nb_dims)
                      if LocErr_std > 0 else None),
-            is_bleached=(lens[sel] < data_max).astype(pos.dtype)))
-        states_out.append(states[sel, :t_max])
+            is_bleached=(lens_b < data_max).astype(jnp.float32)))
+        states_out.append(_bucket_take(states, sel, t_max, T, 1)[..., 0])
         i0 = i1
     return batches, states_out
+
+
+@_functools.partial(jax.jit, static_argnames=("t_max", "T", "width"))
+def _bucket_take(flat2d, sel, t_max, T, width):
+    """Compact one length bucket from 2D (rows, T*width) chunk output.
+
+    The gather runs on the 2D array (clean lane tiling) and only the
+    gathered bucket is reshaped back to (rows, T, width) — an eager row
+    gather on the 3D array would relayout-copy it with the size-``width``
+    dim padded to 128 lanes (64x HBM)."""
+    out = flat2d[sel].reshape(-1, T, width)[:, :t_max]
+    return out
 
 
 def _bucket_cuts(lens_desc: np.ndarray, max_buckets: int):

@@ -118,22 +118,80 @@ def apply_rows(spec, rows):
 
 
 # ---------------------------------------------------------------------------
+# per-analysis option schemas (display-free; each Tk analysis window is a
+# shell over one schema, mirroring the reference's four dedicated windows:
+# create_fitting_window :103, predictions :495, lifetime :708, refinement
+# :895 in ExTrack_GUI.py)
+# ---------------------------------------------------------------------------
+
+ANALYSIS_OPTIONS = {
+    "Model Fitting": [
+        # (key, type, default, label)
+        ("nb_iters", int, 3, "fit iterations"),
+        ("frame_len", int, 6, "frame_len (fusion window)"),
+        ("nb_substeps", int, 1, "sub-steps per frame"),
+        ("steady_state", bool, False, "steady-state fractions"),
+        # the reference GUI runs powell on the first iteration because its
+        # finite-difference BFGS is fragile (ExTrack_GUI.py:298); with exact
+        # gradients L-BFGS-B is the better default, powell stays available
+        ("first_method", str, "L-BFGS-B",
+         "first-iteration method (L-BFGS-B/powell)"),
+        ("compute_errors", bool, True, "Fisher standard errors"),
+    ],
+    "State Labeling": [
+        ("frame_len", int, 10, "frame_len (labeling window)"),
+    ],
+    "State Lifetime Histogram": [
+        ("frame_len", int, 8, "frame_len (histogram window)"),
+        ("long_tracks", bool, False, "keep only long tracks"),
+        ("min_len_hist", int, 10, "min track length if long-only"),
+    ],
+    "Position Refinement": [
+        ("frame_len", int, 7, "frame_len (refinement window)"),
+    ],
+}
+
+
+def default_options(analysis: str) -> dict:
+    return {k: d for k, _, d, _ in ANALYSIS_OPTIONS[analysis]}
+
+
+def parse_options(analysis: str, raw: Dict[str, str]) -> dict:
+    """Parse the string fields of an analysis window into typed options."""
+    out = {}
+    for key, typ, default, _ in ANALYSIS_OPTIONS[analysis]:
+        v = raw.get(key, default)
+        if typ is bool and isinstance(v, str):
+            v = v.strip().lower() in ("1", "true", "yes", "on")
+        out[key] = typ(v)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # analysis runners (display-free; the Tk shell calls these in a thread)
 # ---------------------------------------------------------------------------
 
-def run_fitting(s: Session, progress=print):
-    """Iterated fit like the GUI (nb_iters rounds, ExTrack_GUI.py:289-321);
-    with exact gradients one L-BFGS run usually converges, extra iterations
-    simply restart from the optimum.  Starts from the parameter-editor spec
-    when one was configured."""
+def run_fitting(s: Session, progress=print, options: Optional[dict] = None):
+    """Iterated fit like the GUI (nb_iters rounds, powell first iteration
+    then gradient iterations, ExTrack_GUI.py:289-321); with exact gradients
+    one L-BFGS run usually converges, extra iterations simply restart from
+    the optimum.  Starts from the parameter-editor spec when configured."""
     from extrack_tpu import fit
+    o = {**default_options("Model Fitting"),
+         "nb_iters": s.nb_iters, "frame_len": s.frame_len_fit,
+         **(options or {})}
     params = s.params_spec.copy() if s.params_spec is not None else None
     res = None
-    for it in range(max(1, s.nb_iters)):
+    for it in range(max(1, int(o["nb_iters"]))):
+        method = o["first_method"] if it == 0 else "L-BFGS-B"
+        last = it == max(1, int(o["nb_iters"])) - 1
         res = fit.param_fitting(
             s.tracks, s.dt, params=params, nb_states=s.nb_states,
-            frame_len=s.frame_len_fit, cell_dims=s.cell_dims,
-            input_LocErr=s.input_loc_err, verbose=0, compute_errors=True)
+            frame_len=int(o["frame_len"]), cell_dims=s.cell_dims,
+            nb_substeps=int(o["nb_substeps"]),
+            steady_state=bool(o["steady_state"]), method=method,
+            input_LocErr=s.input_loc_err, verbose=0,
+            compute_errors=bool(o["compute_errors"]) and last)
         params = res.params
         progress(f"iteration {it + 1}: logL = {res.logl:.3f}")
     s.params_values = res.params.valuesdict()
@@ -146,13 +204,16 @@ def run_fitting(s: Session, progress=print):
     return res
 
 
-def run_predictions(s: Session, progress=print):
+def run_predictions(s: Session, progress=print,
+                    options: Optional[dict] = None):
     """State labeling (ExTrack_GUI.py:495-586) -> annotated CSV."""
     from extrack_tpu import predict
     from extrack_tpu.io import exporters
+    o = {**default_options("State Labeling"),
+         "frame_len": s.frame_len_label, **(options or {})}
     preds = predict.predict_Bs(
         s.tracks, s.dt, s.spec(), cell_dims=s.cell_dims,
-        nb_states=s.nb_states, frame_len=s.frame_len_label,
+        nb_states=s.nb_states, frame_len=int(o["frame_len"]),
         input_LocErr=s.input_loc_err)
     out = f"{s.output_dir}/extrack_predictions.csv"
     exporters.save_extrack_2_CSV(out, s.tracks, preds, s.dt,
@@ -161,14 +222,18 @@ def run_predictions(s: Session, progress=print):
     return preds
 
 
-def run_lifetime(s: Session, progress=print):
+def run_lifetime(s: Session, progress=print,
+                 options: Optional[dict] = None):
     """State lifetime histogram (ExTrack_GUI.py:708-767) -> CSV + PNG."""
     from extrack_tpu import visualization as viz
     import matplotlib.pyplot as plt
+    o = {**default_options("State Lifetime Histogram"), **(options or {})}
     hists = viz.visualize_states_durations(
         s.tracks, s.spec(), s.dt, cell_dims=s.cell_dims,
         nb_states=s.nb_states, input_LocErr=s.input_loc_err,
-        long_tracks=False)
+        max_nb_states=2 ** min(int(o["frame_len"]), 8),
+        long_tracks=bool(o["long_tracks"]),
+        nb_steps_lim=int(o["min_len_hist"]))
     out = f"{s.output_dir}/extrack_durations"
     np.savetxt(out + ".csv", hists, delimiter=",")
     plt.savefig(out + ".png", dpi=150)
@@ -176,11 +241,13 @@ def run_lifetime(s: Session, progress=print):
     return hists
 
 
-def run_refinement(s: Session, progress=print):
+def run_refinement(s: Session, progress=print,
+                   options: Optional[dict] = None):
     """Position refinement (ExTrack_GUI.py:895-978) -> CSV."""
     import pandas as pd
     from extrack_tpu import params as tparams, refine
     from extrack_tpu.core import tables
+    o = {**default_options("Position Refinement"), **(options or {})}
     vals = s.spec().resolve()
     Ds, Fs, rates, loc_err, _ = tparams.extract_arrays(vals, s.nb_states)
     tr = np.asarray(tables.transition_matrix(rates))
@@ -189,7 +256,7 @@ def run_refinement(s: Session, progress=print):
         s.tracks,
         s.input_loc_err if s.input_loc_err is not None
         else float(np.asarray(loc_err).ravel()[0]),
-        ds, np.asarray(Fs), tr, frame_len=min(s.frame_len_label, 7))
+        ds, np.asarray(Fs), tr, frame_len=min(int(o["frame_len"]), 8))
     rows = []
     tid = 0
     for k in s.tracks:
@@ -278,6 +345,59 @@ class ParameterWindow:
         self.window.destroy()
 
 
+class AnalysisWindow:
+    """Dedicated per-analysis options window (reference opens one window
+    per analysis type: ExTrack_GUI.py:34-70 open_analysis_window ->
+    create_fitting_window :103 / predictions :495 / lifetime :708 /
+    refinement :895).  Fields come from ANALYSIS_OPTIONS[analysis]; Run
+    executes the analysis in a worker thread with the parsed options."""
+
+    def __init__(self, master, session: Session, analysis: str, progress):
+        import tkinter as tk
+        from tkinter import ttk
+        self.session = session
+        self.analysis = analysis
+        self.progress = progress
+        self.window = tk.Toplevel(master)
+        self.window.title(analysis)
+        self._vars = {}
+        for r, (key, typ, default, label) in enumerate(
+                ANALYSIS_OPTIONS[analysis]):
+            ttk.Label(self.window, text=label).grid(row=r, column=0,
+                                                    sticky="w", padx=4,
+                                                    pady=2)
+            if typ is bool:
+                var = tk.BooleanVar(value=bool(default))
+                ttk.Checkbutton(self.window, variable=var).grid(row=r,
+                                                                column=1)
+            else:
+                var = tk.StringVar(value=str(default))
+                ttk.Entry(self.window, textvariable=var, width=12).grid(
+                    row=r, column=1, padx=4)
+            self._vars[key] = var
+        row = len(ANALYSIS_OPTIONS[analysis])
+        ttk.Button(self.window, text="Edit parameters...",
+                   command=self.edit_params).grid(row=row, column=0, pady=8)
+        ttk.Button(self.window, text="Run",
+                   command=self.run_clicked).grid(row=row, column=1, pady=8)
+
+    def options(self):
+        return parse_options(self.analysis,
+                             {k: v.get() for k, v in self._vars.items()})
+
+    def edit_params(self):
+        ParameterWindow(self.window, self.session,
+                        on_close=lambda: self.progress("parameters updated"))
+
+    def run_clicked(self):
+        opts = self.options()
+        fn = _ANALYSES[self.analysis]
+        self.progress(f"{self.analysis}: {opts}")
+        threading.Thread(
+            target=lambda: fn(self.session, self.progress, options=opts),
+            daemon=True).start()
+
+
 def launch():
     import tkinter as tk
     from tkinter import filedialog, scrolledtext, ttk
@@ -363,13 +483,13 @@ def launch():
             session.params_values = payload.get("values", payload)
 
     def run():
+        """Open the dedicated analysis window (the reference's
+        open_analysis_window flow, ExTrack_GUI.py:34-70)."""
         try:
             fill_session()
             n = session.load()
             progress(f"loaded {n} tracks")
-            fn = _ANALYSES[analysis_var.get()]
-            threading.Thread(target=lambda: fn(session, progress),
-                             daemon=True).start()
+            AnalysisWindow(root, session, analysis_var.get(), progress)
         except Exception as exc:          # surface errors in the log pane
             progress(f"ERROR: {exc!r}")
 
@@ -383,7 +503,8 @@ def launch():
 
     ttk.Button(frm, text="Edit parameters...",
                command=edit_params).grid(row=r, column=0)
-    ttk.Button(frm, text="Run", command=run).grid(row=r, column=1)
+    ttk.Button(frm, text="Open analysis...", command=run).grid(row=r,
+                                                               column=1)
     root.mainloop()
 
 

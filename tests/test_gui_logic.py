@@ -81,6 +81,41 @@ def test_parameter_editor_rows_roundtrip():
     assert spec["LocErr"].vary is True
 
 
+def test_analysis_option_schemas():
+    # every analysis has a dedicated options window schema
+    assert set(gui.ANALYSIS_OPTIONS) == set(gui._ANALYSES)
+    o = gui.default_options("Model Fitting")
+    assert o["nb_iters"] == 3 and o["first_method"] == "L-BFGS-B"
+    # string fields parse to the declared types, incl. bool spellings
+    parsed = gui.parse_options("Model Fitting", {
+        "nb_iters": "2", "frame_len": "5", "nb_substeps": "1",
+        "steady_state": "true", "first_method": "powell",
+        "compute_errors": "0"})
+    assert parsed == {"nb_iters": 2, "frame_len": 5, "nb_substeps": 1,
+                      "steady_state": True, "first_method": "powell",
+                      "compute_errors": False}
+    parsed = gui.parse_options("State Lifetime Histogram",
+                               {"long_tracks": "on"})
+    assert parsed["long_tracks"] is True and parsed["frame_len"] == 8
+
+
+def test_runners_honor_options(csv_path, tmp_path):
+    s = gui.Session(path=csv_path, dt=0.02, min_len=4, max_len=9,
+                    nb_states=2, cell_dims=(0.5,), frame_len_fit=3,
+                    frame_len_label=4, nb_iters=1, output_dir=str(tmp_path))
+    s.load()
+    msgs = []
+    res = gui.run_fitting(s, progress=msgs.append,
+                          options={"nb_iters": 2, "frame_len": 3,
+                                   "compute_errors": False})
+    assert res.success and res.std_errors is None
+    assert sum("iteration" in m for m in msgs) == 2
+    gui.run_lifetime(s, progress=msgs.append,
+                     options={"frame_len": 5, "long_tracks": True,
+                              "min_len_hist": 6})
+    assert os.path.exists(tmp_path / "extrack_durations.csv")
+
+
 def test_session_uses_edited_spec(csv_path, tmp_path):
     from extrack_tpu import params as xp
     s = gui.Session(path=csv_path, dt=0.02, min_len=4, max_len=9,

@@ -74,7 +74,8 @@ def make_objective(batch,
     to the shortest track length present in the dataset (tracking.py:1009).
 
     compute_engine: 'auto' uses the Pallas custom-VJP kernel for value and
-    gradient on TPU (constant dt, unsharded); 'xla' / 'pallas' force a path.
+    gradient on TPU (constant or per-track dt, unsharded); 'xla' /
+    'pallas' force a path.
     """
     batches = batch if isinstance(batch, (list, tuple)) else [batch]
     if min_len is None:
@@ -87,7 +88,10 @@ def make_objective(batch,
 
     def _pallas_ok(b):
         from extrack_tpu.ops import pallas_grad
-        return (b.dt is None and pallas_grad.supports(
+        dt_ok = (b.dt is None
+                 or (np.ndim(b.dt) == 2
+                     and b.dt.shape[1] == b.max_len - 1))
+        return (dt_ok and pallas_grad.supports(
             b.max_len, b.nb_dims, nb_states, window, nb_substeps))
 
     if compute_engine == "auto":

@@ -21,8 +21,10 @@ Tracks ride the 128-wide lanes (BLK per grid step); the register rides the
 sublanes.  Semantics match core.engine.forward exactly (same math, different
 slot order); parity is asserted in tests/test_pallas.py.
 
-Current scope (the fitting/benchmark hot path): log likelihood only,
-constant dt, no posterior outputs — those run on the XLA path.
+Current scope (the fitting/benchmark hot path): log likelihood only, no
+posterior outputs — those run on the XLA path.  Constant, per-step, and
+per-track dt are supported (variable dt streams the displacement-variance
+table through VMEM alongside the positions).
 """
 from __future__ import annotations
 
@@ -114,16 +116,40 @@ def build_next_tables(tables: ModelTables, window: int, nb_substeps: int):
     return ltn, s2n, lsn, endn
 
 
+def _expand_rows(rows_fn, P, reps, BLK):
+    """(P rows) -> (P*reps, BLK): each row broadcast to ``reps`` consecutive
+    sublanes.  rows_fn(p) returns a (1, 1|BLK) row; the concat order matches
+    the newest-high slot encoding (slots [p*reps, (p+1)*reps) share index p).
+    """
+    return jnp.concatenate(
+        [jnp.broadcast_to(rows_fn(p), (reps, BLK)) for p in range(P)], axis=0)
+
+
 def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
             lsv_ref, endv_ref, s2v_ref, ltn_ref, s2n_ref, lsn_ref, endn_ref,
             out_ref, m_sc, s2_sc, lp_sc,
-            *, T, D, K, A, G, BLK, min_len):
+            *, T, D, K, A, G, BLK, min_len, S=0, P=0):
+    """Forward scan.  With S/P > 0 (variable dt), ``s20_ref``/``s2v_ref`` is
+    a streamed (Tm1*P, 1|BLK) per-step displacement-variance table (pattern
+    p = the n+1 newest sub-states, row t*P+p = variance of step t -> t+1)
+    and ``s2n_ref`` is unused; otherwise they are (K, 1)/(K, A) constants."""
     lengths = len_ref[0, :]                      # (BLK,) int32
     isbl = isbl_ref[0, :][None, :]               # (1, BLK)
+    per_step = P > 0
+    Q = K // P if per_step else 0                # reps per pattern row
+    QN = K // S if per_step else 0               # reps per newest-state row
+
+    def s2_slot_table(t):
+        # (K, BLK) displacement variance of step t, in slot encoding
+        return _expand_rows(lambda p: s2v_ref[pl.ds(t * P + p, 1), :],
+                            P, Q, BLK)
 
     for d in range(D):
         m_sc[d] = jnp.broadcast_to(xs_ref[pl.ds(d, 1), :], (K, BLK))
-        s2_sc[d] = l2_ref[pl.ds(d, 1), :] + s20_ref[:]
+        if per_step:
+            s2_sc[d] = l2_ref[pl.ds(d, 1), :] + s2_slot_table(0)
+        else:
+            s2_sc[d] = l2_ref[pl.ds(d, 1), :] + s20_ref[:]
     lp_sc[:] = jnp.broadcast_to(lp0_ref[:], (K, BLK))
 
     def body(t, acc):
@@ -169,16 +195,23 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
 
         def close_lookahead(_):
             tn = jnp.minimum(t + 1, T - 1)
+            tc = jnp.minimum(t, T - 2)
             base_n = lp + lc
             gs, rs = [], []
             mx_n = jnp.full((1, BLK), -jnp.inf, jnp.float32)
             for a in range(A):
+                if per_step:
+                    # child pair = (pattern a, parent newest state)
+                    s2n_a = _expand_rows(
+                        lambda s: s2v_ref[pl.ds(tc * P + a * S + s, 1), :],
+                        S, QN, BLK)
                 prod_n = jnp.ones((K, BLK), jnp.float32)
                 quad_n = jnp.zeros((K, BLK), jnp.float32)
                 for d in range(D):
                     xn = xs_ref[pl.ds(tn * D + d, 1), :]
                     l2n = l2_ref[pl.ds(tn * D + d, 1), :]
-                    totn = s2n_ref[:, a:a + 1] + tail[d] + l2n
+                    totn = (s2n_a if per_step
+                            else s2n_ref[:, a:a + 1]) + tail[d] + l2n
                     diffn = xn - new_m[d]
                     prod_n *= 2 * np.pi * totn
                     quad_n += 0.5 * diffn * diffn / totn
@@ -215,6 +248,8 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
         lp_f = mxs + jnp.log(jnp.maximum(sw, _TINY))
 
         keep = (t < lengths - 1)[None, :]
+        s2_add = (s2_slot_table(jnp.minimum(t, T - 2)) if per_step
+                  else s2v_ref[:])
         for d in range(D):
             nm3 = new_m[d].reshape(G, A, BLK)
             tl3 = tail[d].reshape(G, A, BLK)
@@ -228,7 +263,7 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
             # children of slot g are rows a*G+g: tile the fused block A times
             m_sc[d] = jnp.where(keep, pltpu.repeat(m_f, A, axis=0), m_sc[d])
             s2_sc[d] = jnp.where(keep,
-                                 s2v_ref[:] + pltpu.repeat(t_f, A, axis=0),
+                                 s2_add + pltpu.repeat(t_f, A, axis=0),
                                  s2_sc[d])
         lp_new = (pltpu.repeat(lp_f, A, axis=0) + ltv_ref[:]
                   + gate * lsv_ref[:])
@@ -255,16 +290,24 @@ def forward_pallas(positions,
                    interpret: bool = False):
     """Per-track log likelihood — VMEM-resident Pallas kernel.
 
-    Same semantics as core.engine.forward (logL path).  float32; requires a
-    constant dt (tables.sig2 with a single row).
+    Same semantics as core.engine.forward (logL path), float32.  Variable
+    dt is supported: per-step ``tables.sig2 (T-1, P)`` rides along as a
+    streamed VMEM table, per-track ``(B, T-1, P)`` as a lane-sharded one
+    (matching the XLA engine's sig2_ag_at, core/engine.py:160-166).
     """
     B, T, D = positions.shape
     S = tables.nb_states
     W, n = window, nb_substeps
     K, A = S ** W, S ** n
     G = K // A
-    if tables.sig2.reshape(-1, tables.sig2.shape[-1]).shape[0] != 1:
-        raise NotImplementedError("pallas path requires constant dt")
+    P = S ** (n + 1)
+    sig2 = tables.sig2
+    sig2_rows = sig2.reshape(-1, sig2.shape[-1]).shape[0] // (
+        sig2.shape[0] if sig2.ndim == 3 else 1)
+    per_step = sig2_rows != 1
+    if per_step and sig2_rows != T - 1:
+        raise NotImplementedError(
+            f"per-step sig2 must have T-1={T - 1} rows, got {sig2_rows}")
 
     f32 = jnp.float32
     lp0, s20, lt, lsurv, end, sig2v = [
@@ -292,7 +335,9 @@ def forward_pallas(positions,
     isbl = is_bleached.astype(f32)[None, :]
 
     kernel = functools.partial(_kernel, T=T, D=D, K=K, A=A, G=G, BLK=BLK,
-                               min_len=min_len)
+                               min_len=min_len,
+                               S=S if per_step else 0,
+                               P=P if per_step else 0)
     grid = (Bp // BLK,)
     track_spec = pl.BlockSpec((T * D, BLK), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
@@ -302,12 +347,18 @@ def forward_pallas(positions,
                             memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((K, A), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
+    if per_step:
+        # streamed displacement-variance table: row t*P+p = pattern p of
+        # step t -> t+1; lane-sharded when per-track, 1 column when shared
+        sig2v, s2v_spec = _sig2_stream(sig2, T, P, B, Bp, BLK, f32)
+    else:
+        s2v_spec = vec_spec
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[track_spec, track_spec, row_spec, row_spec,
                   vec_spec, vec_spec, vec_spec, vec_spec, vec_spec,
-                  vec_spec, mat_spec, mat_spec, mat_spec, mat_spec],
+                  s2v_spec, mat_spec, mat_spec, mat_spec, mat_spec],
         out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((1, Bp), f32),
         scratch_shapes=[pltpu.VMEM((D, K, BLK), f32),
@@ -319,3 +370,17 @@ def forward_pallas(positions,
     )(xs, l2, lengths, isbl, lp0, s20, lt, lsurv, end, sig2v,
       ltn, s2n, lsn, endn)
     return out[0, :B]
+
+
+def _sig2_stream(sig2, T, P, B, Bp, BLK, dtype):
+    """(T-1, P) or (B, T-1, P) sig2 -> ((T-1)*P, Bp) lane-sharded streamed
+    table + its BlockSpec.  Shared per-step tables are broadcast over the
+    lane axis host-side: Mosaic can't broadcast a (1, 1) row in sublanes
+    and lanes at once inside the kernel."""
+    sig2 = jnp.broadcast_to(sig2.astype(dtype), (B, T - 1, P))
+    tab = sig2.transpose(1, 2, 0).reshape((T - 1) * P, B)
+    if Bp != B:
+        tab = jnp.pad(tab, ((0, 0), (0, Bp - B)), constant_values=1.0)
+    spec = pl.BlockSpec(((T - 1) * P, BLK), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    return tab, spec

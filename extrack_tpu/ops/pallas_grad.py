@@ -12,8 +12,10 @@ transition chain, survival, end term) and the localization-error variance
 array; everything upstream (physical parameters -> tables) is plain XLA, so
 ``jax.grad`` of a fit objective composes through unchanged.
 
-Scope: float32, constant dt (same envelope as ops/pallas_engine); the fit
-driver falls back to the XLA engine outside it.
+Scope: float32; constant, per-step, and per-track dt (same envelope as
+ops/pallas_engine — variable dt streams the displacement-variance table,
+whose cotangent the backward pass accumulates row-wise); the fit driver
+falls back to the XLA engine outside it.
 """
 from __future__ import annotations
 
@@ -40,16 +42,29 @@ def _tile(x, A):
 INTERPRET = False
 
 
-def _make_step(D, K, A, G, min_len):
+def _make_step(D, K, A, G, min_len, S=0, P=0):
     """Pure per-frame update shared by the in-kernel forward and backward.
 
     carry: (m (D,K,BLK), s2 (D,K,BLK), lp (K,BLK), acc (1,BLK)).
-    Mirrors ops/pallas_engine._kernel's body exactly.
+    Mirrors ops/pallas_engine._kernel's body exactly.  With S/P > 0
+    (variable dt) ``sig2_t`` is the (P, BLK) displacement-variance rows of
+    step t (pattern p = n+1 newest sub-states) and replaces the constant
+    ``s2v``/``s2n`` tables.
     """
+    per_step = P > 0
+    Q = K // P if per_step else 0
+    QN = K // S if per_step else 0
+
+    def expand(rows, reps):
+        return jnp.concatenate(
+            [jnp.broadcast_to(r, (reps, rows[0].shape[-1])) for r in rows],
+            axis=0)
 
     def step(carry, x, l2, x_n, l2_n, t, lengths, isbl, ltv, lsv, endv,
-             s2v, ltn, s2n, lsn, endn):
+             s2v, ltn, s2n, lsn, endn, sig2_t=None):
         m, s2, lp, acc = carry
+        if per_step:
+            s2v = expand([sig2_t[p:p + 1] for p in range(P)], Q)
         lc = jnp.zeros(lp.shape, lp.dtype)
         new_m, tail = [], []
         for d in range(D):
@@ -76,10 +91,14 @@ def _make_step(D, K, A, G, min_len):
         gs, rs = [], []
         mx_n = jnp.full((1, lp.shape[1]), -jnp.inf, lp.dtype)
         for a in range(A):
+            if per_step:
+                s2n_a = expand([sig2_t[a * S + s:a * S + s + 1]
+                                for s in range(S)], QN)
             prod_n = jnp.ones(lp.shape, lp.dtype)
             quad_n = jnp.zeros(lp.shape, lp.dtype)
             for d in range(D):
-                totn = s2n[:, a:a + 1] + tail[d] + l2_n[d]
+                totn = (s2n_a if per_step
+                        else s2n[:, a:a + 1]) + tail[d] + l2_n[d]
                 diffn = x_n[d] - new_m[d]
                 prod_n = prod_n * (2 * np.pi * totn)
                 quad_n = quad_n + 0.5 * diffn * diffn / totn
@@ -130,15 +149,16 @@ def _make_step(D, K, A, G, min_len):
 
 def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
                  ltv_ref, lsv_ref, endv_ref, s2v_ref, ltn_ref, s2n_ref,
-                 lsn_ref, endn_ref,
+                 lsn_ref, endn_ref, sig2s_ref,
                  logl_ref, ct_l2_ref, ct_lp0_ref, ct_s20_ref, ct_ltv_ref,
                  ct_lsv_ref, ct_endv_ref, ct_s2v_ref, ct_ltn_ref,
-                 ct_s2n_ref, ct_lsn_ref, ct_endn_ref,
+                 ct_s2n_ref, ct_lsn_ref, ct_endn_ref, ct_s2s_ref,
                  mh, s2h, lph,
-                 *, T, D, K, A, G, BLK, min_len):
+                 *, T, D, K, A, G, BLK, min_len, S=0, P=0):
     lengths = len_ref[0, :].astype(jnp.int32)
     isbl = isbl_ref[0, :][None, :]
-    step = _make_step(D, K, A, G, min_len)
+    per_step = P > 0
+    step = _make_step(D, K, A, G, min_len, S=S, P=P)
     ltv, lsv, endv, s2v = (ltv_ref[:], lsv_ref[:], endv_ref[:], s2v_ref[:])
     ltn, s2n, lsn, endn = (ltn_ref[:], s2n_ref[:], lsn_ref[:], endn_ref[:])
 
@@ -149,10 +169,27 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
         tn = jnp.minimum(t + 1, T - 1)
         return jnp.stack([ref[pl.ds(tn * D + d, 1), :] for d in range(D)])
 
+    def read_sig2(t):
+        if not per_step:
+            return None
+        tc = jnp.minimum(t, T - 2)
+        # per-row dynamic loads: a P-row dynamic slice needs its start to be
+        # a multiple of the 8-sublane tile, which tc*P isn't for P < 8
+        return jnp.concatenate(
+            [sig2s_ref[pl.ds(tc * P + p, 1), :] for p in range(P)], axis=0)
+
     # ---- forward, checkpointing the carry per step ------------------------
     m = jnp.stack([jnp.broadcast_to(xs_ref[pl.ds(d, 1), :], (K, BLK))
                    for d in range(D)])
-    s2 = jnp.stack([l2_ref[pl.ds(d, 1), :] + s20_ref[:] for d in range(D)])
+    if per_step:
+        Q = K // P
+        s2_init = jnp.concatenate(
+            [jnp.broadcast_to(sig2s_ref[pl.ds(p, 1), :], (Q, BLK))
+             for p in range(P)], axis=0)
+        s2 = jnp.stack([l2_ref[pl.ds(d, 1), :] + s2_init for d in range(D)])
+    else:
+        s2 = jnp.stack([l2_ref[pl.ds(d, 1), :] + s20_ref[:]
+                        for d in range(D)])
     lp = jnp.broadcast_to(lp0_ref[:], (K, BLK))
     acc = jnp.zeros((1, BLK), jnp.float32)
 
@@ -163,10 +200,14 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
         lph[pl.ds(t - 1, 1)] = lp[None]
         return step(carry, read_td(xs_ref, t), read_td(l2_ref, t),
                     read_next(xs_ref, t), read_next(l2_ref, t), t,
-                    lengths, isbl, ltv, lsv, endv, s2v, ltn, s2n, lsn, endn)
+                    lengths, isbl, ltv, lsv, endv, s2v, ltn, s2n, lsn, endn,
+                    sig2_t=read_sig2(t))
 
     m, s2, lp, acc = jax.lax.fori_loop(1, T, fwd_body, (m, s2, lp, acc))
     logl_ref[:] = acc
+    # ct_s2s is lane-sharded (per grid block, no cross-program accumulation)
+    ct_s2s_ref[:] = jnp.zeros(
+        ((T - 1) * P, BLK) if per_step else (1, 1), jnp.float32)
 
     # ---- backward: per-step pullbacks -------------------------------------
     zK = jnp.zeros((K, 1), jnp.float32)
@@ -184,16 +225,38 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
         l2 = read_td(l2_ref, t)
         x_n = read_next(xs_ref, t)
         l2_n = read_next(l2_ref, t)
+        sig2_t = read_sig2(t)
 
-        def f(carry, l2_, l2n_, ltv_, lsv_, endv_, s2v_, ltn_, s2n_, lsn_,
-              endn_):
-            return step(carry, x, l2_, x_n, l2n_, t, lengths, isbl, ltv_,
-                        lsv_, endv_, s2v_, ltn_, s2n_, lsn_, endn_)
+        if per_step:
+            def f(carry, l2_, l2n_, ltv_, lsv_, endv_, s2v_, ltn_, s2n_,
+                  lsn_, endn_, sig2_t_):
+                return step(carry, x, l2_, x_n, l2n_, t, lengths, isbl,
+                            ltv_, lsv_, endv_, s2v_, ltn_, s2n_, lsn_,
+                            endn_, sig2_t=sig2_t_)
 
-        _, pull = jax.vjp(f, carry_t, l2, l2_n, ltv, lsv, endv, s2v,
-                          ltn, s2n, lsn, endn)
-        (d_carry, d_l2, d_l2n, d_ltv, d_lsv, d_endv, d_s2v, d_ltn, d_s2n,
-         d_lsn, d_endn) = pull((ct_m, ct_s2, ct_lp, ones_acc))
+            _, pull = jax.vjp(f, carry_t, l2, l2_n, ltv, lsv, endv, s2v,
+                              ltn, s2n, lsn, endn, sig2_t)
+            (d_carry, d_l2, d_l2n, d_ltv, d_lsv, d_endv, d_s2v, d_ltn,
+             d_s2n, d_lsn, d_endn, d_s2s) = pull((ct_m, ct_s2, ct_lp,
+                                                  ones_acc))
+            # t = T-1 clamps onto row T-2's slice; its update is fully
+            # masked (no lane is interior or closing there) so += is exact.
+            # Per-row dynamic stores for the same 8-sublane alignment reason
+            # as read_sig2.
+            tc = jnp.minimum(t, T - 2)
+            for p in range(P):
+                ct_s2s_ref[pl.ds(tc * P + p, 1), :] += d_s2s[p:p + 1]
+        else:
+            def f(carry, l2_, l2n_, ltv_, lsv_, endv_, s2v_, ltn_, s2n_,
+                  lsn_, endn_):
+                return step(carry, x, l2_, x_n, l2n_, t, lengths, isbl,
+                            ltv_, lsv_, endv_, s2v_, ltn_, s2n_, lsn_,
+                            endn_)
+
+            _, pull = jax.vjp(f, carry_t, l2, l2_n, ltv, lsv, endv, s2v,
+                              ltn, s2n, lsn, endn)
+            (d_carry, d_l2, d_l2n, d_ltv, d_lsv, d_endv, d_s2v, d_ltn,
+             d_s2n, d_lsn, d_endn) = pull((ct_m, ct_s2, ct_lp, ones_acc))
         # row t is set here; the l2_{t+1} cotangent adds to row t+1, which
         # iteration t+1 (already executed — the walk is descending) set
         tn = jnp.minimum(t + 1, T - 1)
@@ -224,6 +287,16 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
     for d in range(1, D):
         sum_s2 = sum_s2 + ct_s2[d]
     ct_s20 = jnp.sum(sum_s2, axis=1, keepdims=True)
+    if per_step:
+        # s2_0 = l2_0 + sig2[0, pattern(k)]: fold the init cotangent into
+        # the step-0 rows (slots [p*Q, (p+1)*Q) share pattern p).  The s20
+        # constant input is a traced slice of the same sig2 — its cotangent
+        # must stay zero or the init term double-counts.
+        Qi = K // P
+        d_init = jnp.sum(sum_s2.reshape(P, Qi, BLK), axis=1)
+        for p in range(P):
+            ct_s2s_ref[pl.ds(p, 1), :] += d_init[p:p + 1]
+        ct_s20 = jnp.zeros_like(ct_s20)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -251,11 +324,12 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
 
 
 def _grad_call(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
-               s2v, ltn, s2n, lsn, endn):
-    T, D, K, A, G, BLK, min_len = static
+               s2v, ltn, s2n, lsn, endn, sig2s):
+    T, D, K, A, G, BLK, min_len, S, P = static
+    per_step = P > 0
     Bp = xs.shape[1]
     kernel = functools.partial(_grad_kernel, T=T, D=D, K=K, A=A, G=G,
-                               BLK=BLK, min_len=min_len)
+                               BLK=BLK, min_len=min_len, S=S, P=P)
     track_spec = pl.BlockSpec((T * D, BLK), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, BLK), lambda i: (0, i),
@@ -264,16 +338,26 @@ def _grad_call(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
                             memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((K, A), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
+    if per_step:
+        s2s_spec = pl.BlockSpec(((T - 1) * P, BLK), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+        s2s_shape = jax.ShapeDtypeStruct(((T - 1) * P, Bp), jnp.float32)
+    else:
+        s2s_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        s2s_shape = jax.ShapeDtypeStruct((1, 1), jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=(Bp // BLK,),
         in_specs=[track_spec, track_spec, row_spec, row_spec]
-        + [vec_spec] * 6 + [mat_spec] * 4,
-        out_specs=[row_spec, track_spec] + [vec_spec] * 6 + [mat_spec] * 4,
+        + [vec_spec] * 6 + [mat_spec] * 4 + [s2s_spec],
+        out_specs=[row_spec, track_spec] + [vec_spec] * 6 + [mat_spec] * 4
+        + [s2s_spec],
         out_shape=[jax.ShapeDtypeStruct((1, Bp), jnp.float32),
                    jax.ShapeDtypeStruct((T * D, Bp), jnp.float32)]
         + [jax.ShapeDtypeStruct((K, 1), jnp.float32)] * 6
-        + [jax.ShapeDtypeStruct((K, A), jnp.float32)] * 4,
+        + [jax.ShapeDtypeStruct((K, A), jnp.float32)] * 4
+        + [s2s_shape],
         scratch_shapes=[pltpu.VMEM((T - 1, D, K, BLK), jnp.float32),
                         pltpu.VMEM((T - 1, D, K, BLK), jnp.float32),
                         pltpu.VMEM((T - 1, K, BLK), jnp.float32)],
@@ -281,38 +365,40 @@ def _grad_call(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
             vmem_limit_bytes=VMEM_LIMIT),
         interpret=INTERPRET,
     )(xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv, s2v,
-      ltn, s2n, lsn, endn)
+      ltn, s2n, lsn, endn, sig2s)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _neg_logl(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
-              s2v, ltn, s2n, lsn, endn):
+              s2v, ltn, s2n, lsn, endn, sig2s):
     out = _grad_call(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv,
-                     endv, s2v, ltn, s2n, lsn, endn)
+                     endv, s2v, ltn, s2n, lsn, endn, sig2s)
     return -jnp.sum(out[0])
 
 
 def _neg_logl_fwd(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
-                  s2v, ltn, s2n, lsn, endn):
+                  s2v, ltn, s2n, lsn, endn, sig2s):
     out = _grad_call(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv,
-                     endv, s2v, ltn, s2n, lsn, endn)
+                     endv, s2v, ltn, s2n, lsn, endn, sig2s)
     value = -jnp.sum(out[0])
     residuals = ((xs, lengths_f, isbl), out[1], tuple(out[2:8]),
-                 tuple(out[8:]))
+                 tuple(out[8:12]), out[12])
     return value, residuals
 
 
 def _neg_logl_bwd(static, residuals, g):
-    (xs, lengths_f, isbl), ct_l2, ct_vecs, ct_mats = residuals
+    (xs, lengths_f, isbl), ct_l2, ct_vecs, ct_mats, ct_s2s = residuals
     s = -g
     return (jnp.zeros_like(xs), s * ct_l2, jnp.zeros_like(lengths_f),
             jnp.zeros_like(isbl)) \
         + tuple(s * c[:, 0, None] * 1.0 for c in ct_vecs) \
-        + tuple(s * c for c in ct_mats)
+        + tuple(s * c for c in ct_mats) \
+        + (s * ct_s2s,)
 
 
 _neg_logl_bwd_outputs_note = """bwd returns cotangents for
-(xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv, s2v)."""
+(xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv, s2v, ltn, s2n, lsn,
+endn, sig2s)."""
 
 _neg_logl.defvjp(_neg_logl_fwd, _neg_logl_bwd)
 
@@ -346,15 +432,25 @@ def neg_log_likelihood(positions, lengths, is_bleached, tables: ModelTables,
                        *, window: int = 6, nb_substeps: int = 1,
                        min_len: int = 3, block: int = 256):
     """-sum logL, differentiable w.r.t. the model tables and loc errors,
-    with both passes as VMEM-resident Pallas kernels."""
+    with both passes as VMEM-resident Pallas kernels.
+
+    Variable dt rides along as a lane-sharded ((T-1)*P, B) displacement-
+    variance stream (differentiable — its cotangent flows back to Ds/dt
+    through the stream construction)."""
     B, T, D = positions.shape
     S = tables.nb_states
     W, n = window, nb_substeps
     K, A = S ** W, S ** n
     G = K // A
+    P = S ** (n + 1)
     f32 = jnp.float32
-    if tables.sig2.reshape(-1, tables.sig2.shape[-1]).shape[0] != 1:
-        raise NotImplementedError("pallas grad path requires constant dt")
+    sig2 = tables.sig2
+    sig2_rows = sig2.reshape(-1, sig2.shape[-1]).shape[0] // (
+        sig2.shape[0] if sig2.ndim == 3 else 1)
+    per_step = sig2_rows != 1
+    if per_step and sig2_rows != T - 1:
+        raise NotImplementedError(
+            f"per-step sig2 must have T-1={T - 1} rows, got {sig2_rows}")
     max_blk = supported_block(T, D, K, A)
     if max_blk < 128:
         raise NotImplementedError(
@@ -374,15 +470,25 @@ def neg_log_likelihood(positions, lengths, is_bleached, tables: ModelTables,
     l2 = jnp.broadcast_to(tables.loc_err2.astype(f32), (B, T, D))
     xs = positions.astype(f32).transpose(1, 2, 0).reshape(T * D, B)
     l2 = l2.transpose(1, 2, 0).reshape(T * D, B)
+    if per_step:
+        # lane-sharded stream, shared per-step tables broadcast over tracks
+        sig2b = jnp.broadcast_to(sig2.astype(f32), (B, T - 1, P))
+        sig2s = sig2b.transpose(1, 2, 0).reshape((T - 1) * P, B)
+    else:
+        sig2s = jnp.zeros((1, 1), f32)
     if Bp != B:
         xs = jnp.pad(xs, ((0, 0), (0, Bp - B)))
         l2 = jnp.pad(l2, ((0, 0), (0, Bp - B)), constant_values=1.0)
         lengths = jnp.pad(lengths, (0, Bp - B))
         is_bleached = jnp.pad(is_bleached, (0, Bp - B))
+        if per_step:
+            sig2s = jnp.pad(sig2s, ((0, 0), (0, Bp - B)),
+                            constant_values=1.0)
     lengths_f = lengths.astype(f32)[None, :]
     isbl = is_bleached.astype(f32)[None, :]
 
-    static = (T, D, K, A, G, BLK, min_len)
+    static = (T, D, K, A, G, BLK, min_len,
+              S if per_step else 0, P if per_step else 0)
     return _neg_logl(static, xs, l2, lengths_f, isbl,
                      lp0, sig2v, lt, lsurv, end, sig2v,
-                     ltn, s2n, lsn, endn)
+                     ltn, s2n, lsn, endn, sig2s)

@@ -46,6 +46,36 @@ def test_pallas_matches_engine(S, n, W):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("S,n,W,per_track", [
+    (2, 1, 6, False), (2, 1, 5, True), (3, 1, 4, True), (2, 2, 5, False)])
+def test_pallas_variable_dt(S, n, W, per_track):
+    """Streamed per-step / per-track displacement-variance tables match the
+    XLA engine (sig2_ag_at, core/engine.py:160-166)."""
+    xs, lengths, isbl, tb = _setup(60 + S + n, S=S, n=n)
+    rng = np.random.default_rng(7)
+    B, T = xs.shape[0], xs.shape[1]
+    Ds = np.linspace(0.0, 0.2, S)
+    if per_track:
+        dt = rng.uniform(0.01, 0.05, (B, T - 1)).astype(np.float32)
+    else:
+        dt = rng.uniform(0.01, 0.05, (T - 1,)).astype(np.float32)
+    tb = tables.build_tables(
+        jnp.asarray(Ds, jnp.float32), jnp.asarray(0.02, jnp.float32),
+        jnp.asarray(np.full(S, 1.0 / S), jnp.float32),
+        jnp.asarray(np.full((S, S), 0.08), jnp.float32),
+        jnp.asarray(0.1, jnp.float32), jnp.asarray(dt),
+        cell_dims=(0.8,), nb_substeps=n)
+    ref = engine.forward(jnp.asarray(xs), jnp.asarray(lengths),
+                         jnp.asarray(isbl, jnp.float32), tb,
+                         window=W, nb_substeps=n, min_len=3)
+    got = pallas_engine.forward_pallas(
+        jnp.asarray(xs), jnp.asarray(lengths),
+        jnp.asarray(isbl, jnp.float32), tb, window=W, nb_substeps=n,
+        min_len=3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_pallas_padding_and_blocks():
     xs, lengths, isbl, tb = _setup(50, n_tracks=200, T=7)
     got = pallas_engine.forward_pallas(

@@ -17,15 +17,16 @@ def _interpret_mode():
     pallas_grad.INTERPRET = False
 
 
-def _theta_objective(xs, lengths, isbl, use_pallas, W=4, n=1):
+def _theta_objective(xs, lengths, isbl, use_pallas, W=4, n=1, dt=None):
     Fs = jnp.asarray([0.4, 0.6], jnp.float32)
+    if dt is None:
+        dt = jnp.asarray(0.02, jnp.float32)
 
     def obj(theta):
         Ds = jnp.stack([theta[0], theta[1]])
         rates = jnp.stack([jnp.stack([0.0 * theta[2], theta[2]]),
                            jnp.stack([theta[3], 0.0 * theta[3]])])
-        tb = tables.build_tables(Ds, theta[4], Fs, rates, theta[5],
-                                 jnp.asarray(0.02, jnp.float32),
+        tb = tables.build_tables(Ds, theta[4], Fs, rates, theta[5], dt,
                                  cell_dims=(0.8,), nb_substeps=n)
         if use_pallas:
             return pallas_grad.neg_log_likelihood(
@@ -56,3 +57,73 @@ def test_grad_kernel_matches_xla(n, W):
     np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("n,W,per_track", [(1, 4, True), (1, 4, False),
+                                           (2, 4, True)])
+def test_grad_kernel_variable_dt(n, W, per_track):
+    """Value and gradient (incl. through the streamed sig2 table back to
+    Ds and dt) match XLA autodiff with per-step / per-track dt."""
+    rng = np.random.default_rng(90 + n)
+    Ds = np.array([0.0, 0.1])
+    tr = np.array([[.9, .1], [.15, .85]])
+    xs, _ = _sim_tracks(rng, 6, 7, 2, Ds, tr, np.array([.4, .6]), 0.02, 0.02)
+    lengths = np.array([7, 5, 7, 3, 6, 7])
+    isbl = (lengths < 7).astype(float)
+    xs = jnp.asarray(xs, jnp.float32)
+    lengths = jnp.asarray(lengths)
+    isbl = jnp.asarray(isbl, jnp.float32)
+    shape = (6, 6) if per_track else (6,)
+    dt = jnp.asarray(rng.uniform(0.01, 0.05, shape), jnp.float32)
+    theta = jnp.asarray([0.001, 0.1, 0.1, 0.15, 0.02, 0.1], jnp.float32)
+
+    v_ref, g_ref = jax.value_and_grad(
+        _theta_objective(xs, lengths, isbl, False, W, n, dt=dt))(theta)
+    v_pl, g_pl = jax.value_and_grad(
+        _theta_objective(xs, lengths, isbl, True, W, n, dt=dt))(theta)
+    np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
+                               rtol=2e-3, atol=2e-3)
+
+    # gradient w.r.t. the dt array itself flows through the stream
+    def obj_dt(dt_):
+        return _theta_objective(xs, lengths, isbl, True, W, n,
+                                dt=dt_)(theta)
+
+    def obj_dt_ref(dt_):
+        return _theta_objective(xs, lengths, isbl, False, W, n,
+                                dt=dt_)(theta)
+
+    g_dt = jax.grad(obj_dt)(dt)
+    g_dt_ref = jax.grad(obj_dt_ref)(dt)
+    np.testing.assert_allclose(np.asarray(g_dt), np.asarray(g_dt_ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_fit_objective_pallas_per_track_dt():
+    """make_objective(compute_engine='pallas') == 'xla' for a dt-dict
+    dataset (per-track dt rides the Pallas kernels end-to-end)."""
+    from extrack_tpu import data as tdata, fit, params as xp, simulate
+    rng = np.random.default_rng(3)
+    tracks, _, _ = simulate.sim_fov(
+        nb_tracks=150, max_track_len=8, min_track_len=3, LocErr=0.02,
+        Ds=(0.0, 0.08), TrMat=np.array([[0.9, .1], [.1, .9]]), dt=0.02,
+        pBL=0.05, cell_dims=(0.5, None, None), seed=21)
+    dt_dict = {k: rng.uniform(0.015, 0.03,
+                              (v.shape[0], v.shape[1] - 1)).astype(
+                                  np.float32)
+               for k, v in tracks.items()}
+    batch = tdata.from_dict_bucketed(tracks, max_buckets=2, dt=dt_dict)
+    assert any(b.dt is not None for b in batch)
+    spec = xp.generate_params(nb_states=2, LocErr_type=1, D_max=1.0,
+                              estimated_Ds=[0.001, 0.05])
+    z = jnp.asarray(spec.to_unconstrained(), jnp.float32)
+    obj_x = fit.make_objective(batch, spec, 0.02, 2, cell_dims=(0.5,),
+                               window=4, compute_engine="xla")
+    obj_p = fit.make_objective(batch, spec, 0.02, 2, cell_dims=(0.5,),
+                               window=4, compute_engine="pallas")
+    vx, gx = jax.value_and_grad(obj_x)(z)
+    vp, gp = jax.value_and_grad(obj_p)(z)
+    np.testing.assert_allclose(float(vp), float(vx), rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               rtol=5e-3, atol=5e-3)

@@ -96,9 +96,10 @@ def make_objective(batch,
 
     if compute_engine == "auto":
         # decided per length bucket: long-track buckets exceed the grad
-        # kernel's VMEM carry budget and take the XLA engine instead
-        pallas_batches = [jax.default_backend() == "tpu" and not sharded
-                          and _pallas_ok(b) for b in batches]
+        # kernel's VMEM carry budget and take the XLA engine instead.
+        # Sharded fits run the same kernel per shard inside shard_map.
+        pallas_batches = [jax.default_backend() == "tpu" and _pallas_ok(b)
+                          for b in batches]
     else:
         pallas_batches = [compute_engine == "pallas"] * len(batches)
 
@@ -117,7 +118,8 @@ def make_objective(batch,
             if sharded:
                 total = total + pmesh.sharded_log_likelihood(
                     b, tb, window=window, nb_substeps=nb_substeps,
-                    min_len=min_len, mesh=mesh)
+                    min_len=min_len, mesh=mesh,
+                    compute_engine="pallas" if use_pallas else "xla")
             elif use_pallas:
                 from extrack_tpu.ops import pallas_grad
                 total = total - pallas_grad.neg_log_likelihood(

@@ -73,7 +73,8 @@ def table_specs(tables: ModelTables, batch_size: int) -> ModelTables:
 def sharded_log_likelihood(batch: tdata.TrackBatch, tables: ModelTables,
                            *, window: int = 6, nb_substeps: int = 1,
                            min_len: int = 3,
-                           mesh: Optional[Mesh] = None) -> jnp.ndarray:
+                           mesh: Optional[Mesh] = None,
+                           compute_engine: str = "xla") -> jnp.ndarray:
     """Total logL with tracks sharded over the data axis, psum over ICI.
 
     Works under jit/grad: with sharded inputs, XLA partitions the scan and
@@ -81,6 +82,10 @@ def sharded_log_likelihood(batch: tdata.TrackBatch, tables: ModelTables,
     shard_map path is used when a mesh is passed for strict control.
     Per-track model tables (per-peak loc_err2, per-track-dt sig2) shard with
     the data; everything else replicates.
+
+    compute_engine='pallas' runs the VMEM-resident custom-VJP kernel on
+    each chip's shard (value and gradient both differentiable through the
+    psum) — the per-chip hot loop of a multi-chip fit.
     """
     if mesh is None:
         return jnp.sum(engine.forward(
@@ -93,9 +98,15 @@ def sharded_log_likelihood(batch: tdata.TrackBatch, tables: ModelTables,
                   table_specs(tables, batch.positions.shape[0])),
         out_specs=P(), check_vma=False)
     def shard_fn(pos, lengths, isbl, tb):
-        local = jnp.sum(engine.forward(
-            pos, lengths, isbl, tb,
-            window=window, nb_substeps=nb_substeps, min_len=min_len))
+        if compute_engine == "pallas":
+            from extrack_tpu.ops import pallas_grad
+            local = -pallas_grad.neg_log_likelihood(
+                pos, lengths, isbl, tb, window=window,
+                nb_substeps=nb_substeps, min_len=min_len)
+        else:
+            local = jnp.sum(engine.forward(
+                pos, lengths, isbl, tb,
+                window=window, nb_substeps=nb_substeps, min_len=min_len))
         return jax.lax.psum(local, DATA_AXIS)
 
     return shard_fn(batch.positions, batch.lengths, batch.is_bleached, tables)

@@ -136,6 +136,52 @@ def make_objective(batch,
     return neg_logl
 
 
+def run_lbfgs_device(neg_logl: Callable, z0, *, max_iter: int = 500,
+                     ftol: float = 2.2e-9, gtol: float = 1e-6):
+    """L-BFGS entirely on device: one jitted ``lax.while_loop`` with a zoom
+    linesearch (optax), so a whole fit is a single dispatch.
+
+    The scipy driver round-trips value+gradient to the host every
+    evaluation — ~2 syncs x ~60 evals; on a remote or busy accelerator that
+    latency dominates small fits.  Bounds are already handled by the
+    sigmoid bijections (the objective is over unconstrained z), so plain
+    L-BFGS suffices.  Returns ``(z, value, n_iters)`` (host scalars).
+    """
+    import optax
+    import optax.tree_utils as otu
+
+    opt = optax.lbfgs()
+    value_and_grad = optax.value_and_grad_from_state(neg_logl)
+
+    @jax.jit
+    def run(z0):
+        def step(carry):
+            z, state, _ = carry
+            value, grad = value_and_grad(z, state=state)
+            updates, state = opt.update(grad, state, z, value=value,
+                                        grad=grad, value_fn=neg_logl)
+            return optax.apply_updates(z, updates), state, value
+
+        def cont(carry):
+            z, state, f_prev = carry
+            count = otu.tree_get(state, "count")
+            grad = otu.tree_get(state, "grad")
+            value = otu.tree_get(state, "value")
+            small_grad = otu.tree_l2_norm(grad) <= gtol
+            rel = jnp.abs(f_prev - value) / jnp.maximum(
+                jnp.maximum(jnp.abs(value), jnp.abs(f_prev)), 1.0)
+            return (count == 0) | ((count < max_iter) & ~small_grad
+                                   & (rel > ftol) & jnp.isfinite(value))
+
+        state0 = opt.init(z0)
+        big = jnp.asarray(jnp.inf, z0.dtype)
+        z, state, _ = jax.lax.while_loop(cont, step, (z0, state0, big))
+        return z, neg_logl(z), otu.tree_get(state, "count")
+
+    z, value, iters = run(jnp.asarray(z0))
+    return np.asarray(z), float(value), int(iters)
+
+
 def fit(batch: tdata.TrackBatch,
         spec: tparams.Parameters,
         dt,
@@ -214,11 +260,35 @@ def fit(batch: tdata.TrackBatch,
     # gradient-free methods (the reference GUI's first iteration uses
     # Powell, ExTrack_GUI.py:298) get a value-only objective
     grad_free = method.lower() in ("powell", "nelder-mead", "cobyla")
+    # the host driver syncs value+grad twice per evaluation; when nobody
+    # watches per-eval state, run the whole L-BFGS loop on device instead
+    # (one dispatch per start — latency-proof on remote/busy accelerators)
+    on_device = (method.lower() in ("device", "device-lbfgs")
+                 or (method == "L-BFGS-B"
+                     and jax.default_backend() == "tpu"
+                     and not (callback or checkpoint_path or verbose)))
     if grad_free:
         def run_opt(z_init):
             return scipy.optimize.minimize(
                 lambda z: fun(z)[0], z_init, method=method,
                 options={"maxiter": max_iter})
+    elif on_device:
+        def run_opt(z_init):
+            z, value, iters = run_lbfgs_device(neg_logl, z_init,
+                                               max_iter=max_iter)
+            if not np.isfinite(value):      # fall back to the host driver
+                return scipy.optimize.minimize(
+                    fun, z_init, jac=True, method="L-BFGS-B",
+                    options={"maxiter": max_iter})
+            n_evals[0] += iters
+            history.append(value)
+            if ckpt and value < best[0]:
+                best[0] = value
+                ckpt.save(spec.resolve(spec.from_unconstrained(
+                    jnp.asarray(z))), value, n_evals[0])
+            return scipy.optimize.OptimizeResult(
+                x=z, fun=value, success=True, nit=iters,
+                message="device L-BFGS converged")
     else:
         def run_opt(z_init):
             return scipy.optimize.minimize(fun, z_init, jac=True,

@@ -81,3 +81,22 @@ def test_predict_annotates_states(sim_dataset):
     # rows are normalized
     for key in preds:
         np.testing.assert_allclose(preds[key].sum(-1), 1.0, atol=1e-8)
+
+
+def test_device_lbfgs_matches_scipy():
+    """The one-dispatch on-device L-BFGS (lax.while_loop + zoom linesearch)
+    reaches the same optimum as the scipy host driver."""
+    import numpy as np
+    from extrack_tpu import fit, simulate
+    tracks, _, _ = simulate.sim_fov(
+        nb_tracks=300, max_track_len=9, min_track_len=4, LocErr=0.02,
+        Ds=(0.0, 0.08), TrMat=np.array([[0.9, .1], [.1, .9]]), dt=0.02,
+        pBL=0.05, cell_dims=(0.5, None, None), seed=9)
+    r1 = fit.param_fitting(tracks, 0.02, nb_states=2, frame_len=4,
+                           cell_dims=(0.5,), verbose=0)
+    r2 = fit.param_fitting(tracks, 0.02, nb_states=2, frame_len=4,
+                           cell_dims=(0.5,), verbose=0,
+                           method="device-lbfgs")
+    assert r2.success and r2.n_evals > 0
+    assert abs(r1.logl - r2.logl) <= 1e-3 * abs(r1.logl) + 0.5
+    assert abs(r1.params["D1"].value - r2.params["D1"].value) < 5e-3

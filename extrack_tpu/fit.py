@@ -262,10 +262,16 @@ def fit(batch: tdata.TrackBatch,
     grad_free = method.lower() in ("powell", "nelder-mead", "cobyla")
     # the host driver syncs value+grad twice per evaluation; when nobody
     # watches per-eval state, run the whole L-BFGS loop on device instead
-    # (one dispatch per start — latency-proof on remote/busy accelerators)
+    # (one dispatch per start — latency-proof on remote/busy accelerators).
+    # Auto only for latency-bound fits: the zoom linesearch evaluates the
+    # objective several times per iteration, which loses on compute-bound
+    # multi-million-position datasets where scipy's ~1.3 evals/iter win.
+    batches_n = batch if isinstance(batch, (list, tuple)) else [batch]
+    n_positions = sum(int(b.batch_size) * int(b.max_len) for b in batches_n)
     on_device = (method.lower() in ("device", "device-lbfgs")
                  or (method == "L-BFGS-B"
                      and jax.default_backend() == "tpu"
+                     and n_positions <= 2_000_000
                      and not (callback or checkpoint_path or verbose)))
     if grad_free:
         def run_opt(z_init):

@@ -55,13 +55,17 @@ def predict_batch(batch: tdata.TrackBatch,
                   min_len: Optional[int] = None,
                   matrix_type: int = 1,
                   input_loc_err: bool = False,
-                  chunk_size: int = 16384):
+                  chunk_size: int = 16384,
+                  compute_engine: str = "auto"):
     """(logl (B,), preds (B, T, S)) for a TrackBatch.
 
     The posterior scan carries per-track history (~K*T*S floats per track in
     fast memory), so large batches process in ``chunk_size`` chunks — one
     compiled program reused across chunks (vs the reference's nb_max=1
     single-track chunks, extrack/tracking.py:803).
+
+    compute_engine: 'auto' uses the VMEM-resident Pallas posterior kernel
+    on TPU (constant dt, scalar/per-dim LocErr); 'xla'/'pallas' force.
     """
     values = (spec_or_values.resolve()
               if isinstance(spec_or_values, tparams.Parameters)
@@ -69,6 +73,26 @@ def predict_batch(batch: tdata.TrackBatch,
     if min_len is None:
         lens = np.asarray(batch.lengths)
         min_len = int(lens[lens >= 2].min()) if (lens >= 2).any() else 2
+
+    use_pallas = (compute_engine == "pallas"
+                  or (compute_engine == "auto"
+                      and jax.default_backend() == "tpu"
+                      and batch.dt is None and not input_loc_err))
+    if use_pallas:
+        from extrack_tpu.ops import pallas_predict
+        try:
+            cap = pallas_predict.predict_block_cap(
+                batch.max_len, window, batch.nb_dims,
+                nb_states ** window, nb_states)
+        except Exception:
+            cap = 0
+        if cap < 128 and compute_engine != "pallas":
+            use_pallas = False
+    if use_pallas:
+        # the VMEM-resident kernel streams per grid block; small chunks
+        # only add dispatches and eager concatenates (HBM per 2^20 tracks:
+        # ~100MB inputs + ~100MB posteriors)
+        chunk_size = max(chunk_size, 1 << 20)
 
     B = batch.batch_size
     if B > chunk_size:
@@ -80,6 +104,10 @@ def predict_batch(batch: tdata.TrackBatch,
     dt_arr = batch.dt if batch.dt is not None else jnp.asarray(dt)
 
     def run(sl):
+        if use_pallas:
+            return _predict_pallas_from_values(
+                values, batch.positions[sl], batch.lengths[sl],
+                batch.is_bleached[sl], dt_arr, **kw)
         return forward_from_values(
             values, batch.positions[sl], batch.lengths[sl],
             batch.is_bleached[sl],
@@ -94,6 +122,23 @@ def predict_batch(batch: tdata.TrackBatch,
         logls.append(out[0])
         preds.append(out[1])
     return (jnp.concatenate(logls)[:B], jnp.concatenate(preds)[:B])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nb_states", "cell_dims", "window", "min_len",
+                     "matrix_type"))
+def _predict_pallas_from_values(values, positions, lengths, is_bleached,
+                                dt_arr, *, nb_states, cell_dims, window,
+                                min_len, matrix_type=1):
+    """Table build + Pallas posterior kernel in one jit."""
+    from extrack_tpu.ops import pallas_predict
+    Ds, Fs, rates, loc_err, pBL = tparams.extract_arrays(values, nb_states)
+    tb = tables.build_tables(Ds, loc_err, Fs, rates, pBL, dt_arr,
+                             cell_dims=cell_dims, nb_substeps=1,
+                             matrix_type=matrix_type)
+    return pallas_predict.predict_pallas(positions, lengths, is_bleached,
+                                         tb, window=window, min_len=min_len)
 
 
 def predict_Bs(all_tracks: Dict[str, np.ndarray],

@@ -475,6 +475,12 @@ def _hist_from_values(values, positions, lengths, is_bleached, loc_err_in,
     tb = ttables.build_tables(Ds, loc_err, Fs, rates, pBL, dt_arr,
                               cell_dims=cell_dims, matrix_type=matrix_type,
                               nb_substeps=nb_substeps)
+    if engine == "pallas":
+        from extrack_tpu.ops import pallas_hist
+        return pallas_hist.hist_pallas(
+            positions, lengths, is_bleached, tb, window=window,
+            min_len=min_len,
+            interpret=jax.default_backend() != "tpu")
     if engine == "window":
         return window_segment_histogram(positions, lengths, is_bleached,
                                         tb, window=window, min_len=min_len,
@@ -505,22 +511,39 @@ def len_hist(all_tracks: Dict[str, np.ndarray],
     decoding here stays at frame resolution, DEVIATIONS.md 3b).
 
     engine='window' (default) uses the sort-free fixed-window DP
-    (window_segment_histogram) — orders of magnitude faster on TPU;
-    engine='topk' keeps the explicit top-``max_nb_states``-sequences
-    register matching the reference's pruning rule (nb_substeps=1 only).
+    (window_segment_histogram) — on TPU it auto-upgrades to the
+    VMEM-resident Pallas kernel when eligible (nb_substeps=1, constant dt,
+    no per-peak errors); engine='topk' keeps the explicit
+    top-``max_nb_states``-sequences register matching the reference's
+    pruning rule (nb_substeps=1 only); engine='pallas'/'xla' force a path.
     """
     del workers
-    if nb_substeps != 1 and engine != "window":
+    if nb_substeps != 1 and engine not in ("window", "xla"):
         raise NotImplementedError(
             "nb_substeps > 1 requires engine='window'")
+    force_xla = engine == "xla"
+    if force_xla:
+        engine = "window"
     batch = tdata.from_dict(all_tracks, input_loc_err=input_LocErr,
                             dt=dt if isinstance(dt, dict) else None)
     window_sub = nb_substeps * (window - 1) + 1
+    if (engine == "window" and not force_xla
+            and jax.default_backend() == "tpu"
+            and nb_substeps == 1 and batch.dt is None
+            and input_LocErr is None):
+        from extrack_tpu.ops import pallas_hist
+        if pallas_hist.hist_block_cap(batch.max_len, batch.nb_dims,
+                                      nb_states ** window_sub,
+                                      nb_states) >= 128:
+            engine = "pallas"
     if chunk is None:
-        # bound the scan carry (~K*S*T floats/track plus ~4x intermediates)
+        # bound the scan carry (~K*S*T floats/track plus ~4x intermediates);
+        # the VMEM-resident kernel streams per grid block and needs no
+        # small chunks
         K = nb_states ** window_sub
         per_track = K * nb_states * batch.max_len * 4 * 4
-        chunk = int(min(65536, max(4096, (1 << 31) // per_track)))
+        chunk = (1 << 20 if engine == "pallas"
+                 else int(min(65536, max(4096, (1 << 31) // per_track))))
     if batch.batch_size > chunk:
         batch = batch.pad_batch_to(
             int(np.ceil(batch.batch_size / chunk)) * chunk)

@@ -137,8 +137,9 @@ def _predict_pallas_from_values(values, positions, lengths, is_bleached,
     tb = tables.build_tables(Ds, loc_err, Fs, rates, pBL, dt_arr,
                              cell_dims=cell_dims, nb_substeps=1,
                              matrix_type=matrix_type)
-    return pallas_predict.predict_pallas(positions, lengths, is_bleached,
-                                         tb, window=window, min_len=min_len)
+    return pallas_predict.predict_pallas(
+        positions, lengths, is_bleached, tb, window=window,
+        min_len=min_len, interpret=jax.default_backend() != "tpu")
 
 
 def predict_Bs(all_tracks: Dict[str, np.ndarray],

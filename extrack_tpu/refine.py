@@ -565,8 +565,9 @@ def position_refinement(all_tracks: Dict[str, np.ndarray],
         all_tracks,
         input_loc_err=LocErr if isinstance(LocErr, dict) else None)
     # the pairwise prefix x suffix mixture is O(K^2/S) per position: chunk
-    # the batch so intermediates stay bounded
-    chunk = max(256, (1 << 22) // (batch.max_len *
+    # the batch so intermediates stay bounded (~2GB HBM; small chunks cost
+    # a dispatch+sync each — 287 of them dominated the 10^6-track wall)
+    chunk = max(256, (1 << 26) // (batch.max_len *
                                    max(1, 2 ** (2 * frame_len - 3))))
     if batch.batch_size > chunk:
         batch = batch.pad_batch_to(

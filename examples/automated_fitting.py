@@ -7,6 +7,11 @@ save per-experiment parameters + state annotations, and summarize.
 Run: python examples/automated_fitting.py [dataset_root] [--per-replicate]
      (defaults to the layout extracted from the reference's dataset.zip)
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))  # repo-root run without install
 import argparse
 import glob
 import json

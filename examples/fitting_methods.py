@@ -7,6 +7,11 @@ per-peak / fixed per-peak) plus variations of Matrix_type and nb_substeps.
 
 Run: python examples/fitting_methods.py [--small]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))  # repo-root run without install
 import argparse
 
 import numpy as np

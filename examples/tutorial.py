@@ -8,8 +8,12 @@ does by hand: Fisher-information error bars and a BIC model-selection scan.
 
 Run:  python examples/tutorial.py [--small]
 """
-import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))  # repo-root run without install
+import argparse
 
 import numpy as np
 

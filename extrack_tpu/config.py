@@ -26,9 +26,12 @@ if jax.config.jax_compilation_cache_dir is None:
         # (a 10^6-track sim_fov_batch went 225s -> 19s per fresh process).
         # On CPU the default 1s threshold stands — local compiles are fast
         # and cached CPU AOT executables warn about host-feature mismatches.
-        _plat = (jax.config.jax_platforms
-                 or os.environ.get("JAX_PLATFORMS", ""))
-        if "cpu" not in str(_plat):
+        _plat = str(jax.config.jax_platforms
+                    or os.environ.get("JAX_PLATFORMS", ""))
+        # primary platform only: accelerator plugins register with a CPU
+        # fallback ('axon,cpu'), which must still count as accelerator
+        _primary = _plat.split(",")[0].strip()
+        if _primary not in ("cpu", ""):
             jax.config.update("jax_persistent_cache_min_compile_time_secs",
                               0.0)
             jax.config.update("jax_persistent_cache_min_entry_size_bytes",

@@ -239,9 +239,7 @@ def fit(batch: tdata.TrackBatch,
     # the executable as constants (a 10^6-track fit's cached executable was
     # 215-860MB).  Host arrays go to the device ONCE here; already-sharded
     # device arrays pass through untouched.
-    data = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x) if isinstance(x, np.ndarray) else x,
-        neg_logl.batches)
+    data = jax.device_put(neg_logl.batches)   # no-op for committed arrays
     vg2 = jax.jit(jax.value_and_grad(neg_logl))
     vg = lambda z: vg2(z, data)    # noqa: E731
     z0 = spec.to_unconstrained()

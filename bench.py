@@ -65,17 +65,30 @@ def main():
                                      jnp.asarray([0.5, 0.5]),
                                      jnp.asarray([[0.9, 0.1], [0.1, 0.9]]),
                                      0.02, 0.02, D)
-    xs = xs.astype(dtype)
     rng = np.random.default_rng(1)
-    lengths = jnp.asarray(rng.integers(MIN_LEN, T + 1, B_TPU), jnp.int32)
-    isbl = (lengths < T).astype(dtype)
+    lengths_np = rng.integers(MIN_LEN, T + 1, B_TPU).astype(np.int32)
+    # the data pipeline (data.from_dict / from_dict_bucketed) groups tracks
+    # by length, so short tracks don't pay the longest track's scan and
+    # lane blocks are length-uniform; reproduce that layout: one padded
+    # array per length, all evaluated inside ONE jitted program (the
+    # NumPy baseline below likewise works per exact length)
+    order = np.argsort(lengths_np, kind="stable")
+    xs_sorted = np.asarray(xs.astype(dtype))[order]
+    lengths_sorted = lengths_np[order]
+    uniq = np.unique(lengths_sorted)
+    buckets = []
+    for L in uniq:
+        lo, hi = np.searchsorted(lengths_sorted, [L, L + 1])
+        buckets.append((jnp.asarray(xs_sorted[lo:hi, :L]),
+                        jnp.asarray(lengths_sorted[lo:hi]),
+                        jnp.asarray((lengths_sorted[lo:hi] < T)
+                                    .astype(dtype))))
 
     from extrack_tpu.ops import pallas_engine
 
     use_pallas = jax.default_backend() == "tpu"
 
-    @jax.jit
-    def total(xs, lengths, isbl):
+    def one(xs, lengths, isbl):
         if use_pallas:
             return jnp.sum(pallas_engine.forward_pallas(
                 xs, lengths, isbl, tb, window=W, min_len=MIN_LEN,
@@ -83,34 +96,44 @@ def main():
         return jnp.sum(engine.forward(xs, lengths, isbl, tb, window=W,
                                       nb_substeps=1, min_len=MIN_LEN))
 
-    total(xs, lengths, isbl).block_until_ready()     # compile
-    n_rep = 10
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        total(xs, lengths, isbl).block_until_ready()
-    dt_tpu = (time.perf_counter() - t0) / n_rep
+    @jax.jit
+    def total(buckets):
+        return sum(one(*b) for b in buckets)
+
+    total(buckets).block_until_ready()               # compile
+    # tunnel latency varies run to run: report the best of 3 rounds of
+    # 5 reps each (round mean)
+    dt_tpu = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(5):
+            total(buckets).block_until_ready()
+        dt_tpu = min(dt_tpu, (time.perf_counter() - t0) / 5)
     tracks_per_sec = B_TPU / dt_tpu
 
-    # NumPy reference-algorithm baseline (float64 like the reference);
-    # best of 3 to be robust against host load
-    xs_np = np.asarray(xs[:B_NP], np.float64)
-    len_np = np.asarray(lengths[:B_NP])
+    # NumPy reference-algorithm baseline (float64 like the reference) on a
+    # length-representative strided subset; best of 3 against host load
+    sub = slice(0, B_TPU, B_TPU // B_NP)
+    xs_np = xs_sorted[sub].astype(np.float64)
+    len_np = lengths_sorted[sub]
     dt_np = np.inf
     for _ in range(3):
         t0 = time.perf_counter()
         logl_np = _reference_baseline_loglik(xs_np, len_np, None, W)
         dt_np = min(dt_np, time.perf_counter() - t0)
-    np_tracks_per_sec = B_NP / dt_np
+    np_tracks_per_sec = len(len_np) / dt_np
 
     # sanity: f32 engine agrees with the f64 reference algorithm per track
     # (the f64-vs-f64 parity is 1e-12, tests/test_reference_parity.py);
     # report the deviation rather than crash the benchmark on a blip
+    xs_sub = jnp.asarray(xs_sorted[sub])
+    len_sub = jnp.asarray(len_np)
+    isbl_sub = jnp.asarray((len_np < T).astype(dtype))
     if use_pallas:
         per_track = pallas_engine.forward_pallas(
-            xs[:B_NP], lengths[:B_NP], isbl[:B_NP], tb, window=W,
-            min_len=MIN_LEN)
+            xs_sub, len_sub, isbl_sub, tb, window=W, min_len=MIN_LEN)
     else:
-        per_track = engine.forward(xs[:B_NP], lengths[:B_NP], isbl[:B_NP],
+        per_track = engine.forward(xs_sub, len_sub, isbl_sub,
                                    tb, window=W, min_len=MIN_LEN)
     rel = float(np.median(np.abs(np.asarray(per_track) - logl_np)
                           / np.maximum(np.abs(logl_np), 1.0)))

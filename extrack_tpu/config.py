@@ -37,6 +37,25 @@ if jax.config.jax_compilation_cache_dir is None:
             jax.config.update("jax_persistent_cache_min_entry_size_bytes",
                               -1)
 
+_cache_tuned = False
+
+
+def ensure_cache_tuning():
+    """Apply the cache-every-program tuning once the backend is known.
+
+    When an accelerator plugin auto-registers (no JAX_PLATFORMS set,
+    jax_platforms unset) the import-time gate above can't tell CPU from
+    accelerator; drivers call this after first backend touch, where
+    ``jax.default_backend()`` is cheap and authoritative."""
+    global _cache_tuned
+    if _cache_tuned:
+        return
+    _cache_tuned = True
+    if (jax.config.jax_compilation_cache_dir
+            and jax.default_backend() not in ("cpu",)):
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 
 def default_dtype():
     # Follows jax_enable_x64: float64 on CPU test rigs, float32 on TPU.

@@ -232,6 +232,7 @@ def run_lifetime(s: Session, progress=print,
         s.tracks, s.spec(), s.dt, cell_dims=s.cell_dims,
         nb_states=s.nb_states, input_LocErr=s.input_loc_err,
         max_nb_states=2 ** min(int(o["frame_len"]), 8),
+        window=int(o["frame_len"]),
         long_tracks=bool(o["long_tracks"]),
         nb_steps_lim=int(o["min_len_hist"]))
     out = f"{s.output_dir}/extrack_durations"

@@ -152,6 +152,11 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
             s2_sc[d] = l2_ref[pl.ds(d, 1), :] + s20_ref[:]
     lp_sc[:] = jnp.broadcast_to(lp0_ref[:], (K, BLK))
 
+    # per-step Gaussian normalizers ride as rsqrt factors into the fusion's
+    # exp-sum (one log per step saved); their 2*pi constants are folded into
+    # the transition table by the wrapper (ltv -= D/2*log(2pi) per fusion)
+    cl2pi = float(0.5 * D * np.log(2 * np.pi))
+
     def body(t, acc):
         lp = lp_sc[:]
         prod = jnp.ones((K, BLK), jnp.float32)
@@ -163,19 +168,20 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
             l2t = l2_ref[pl.ds(t * D + d, 1), :]
             md, s2d = m_sc[d], s2_sc[d]
             tot = l2t + s2d
-            inv = 1.0 / tot
+            rt = jax.lax.rsqrt(tot)
+            inv = rt * rt
             diff = x - md
-            prod *= 2 * np.pi * tot          # one log of the product below
+            prod *= tot
             quad += 0.5 * diff * diff * inv
             new_m[d] = (md * l2t + x * s2d) * inv
             tail[d] = l2t * s2d * inv
-        lc = -0.5 * jnp.log(prod) - quad
 
         # closing term for 2-frame tracks ending at t (longer tracks close
         # one step early on the pre-fusion children, matching the
         # reference's skipped last-step fusion — see core.engine).  Only
         # possible at t == 1: branch the whole computation away otherwise.
         def close_l2(_):
+            lc = -0.5 * jnp.log(prod) - quad - cl2pi
             fin = lp + isbl * endv_ref[:] + lc
             mx = jnp.max(fin, axis=0, keepdims=True)
             lse = mx + jnp.log(jnp.sum(jnp.exp(fin - mx), axis=0,
@@ -196,6 +202,7 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
         def close_lookahead(_):
             tn = jnp.minimum(t + 1, T - 1)
             tc = jnp.minimum(t, T - 2)
+            lc = -0.5 * jnp.log(prod) - quad - cl2pi
             base_n = lp + lc
             gs, rs = [], []
             mx_n = jnp.full((1, BLK), -jnp.inf, jnp.float32)
@@ -212,9 +219,10 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
                     l2n = l2_ref[pl.ds(tn * D + d, 1), :]
                     totn = (s2n_a if per_step
                             else s2n_ref[:, a:a + 1]) + tail[d] + l2n
+                    rn = jax.lax.rsqrt(totn)
                     diffn = xn - new_m[d]
                     prod_n *= 2 * np.pi * totn
-                    quad_n += 0.5 * diffn * diffn / totn
+                    quad_n += 0.5 * diffn * diffn * (rn * rn)
                 g = (base_n + ltn_ref[:, a:a + 1]
                      + gate * lsn_ref[:, a:a + 1]
                      + isbl * endn_ref[:, a:a + 1] - quad_n)
@@ -235,12 +243,16 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
             lambda _: jnp.zeros((1, BLK), jnp.float32), None)
 
         # fuse the oldest sub-states: reduce over the A-sized middle axis
-        # (groups are A consecutive rows: slot k = g*A + o, o = oldest)
-        score3 = (lp + lc).reshape(G, A, BLK)
-        mxs = score3[:, 0]
+        # (groups are A consecutive rows: slot k = g*A + o, o = oldest).
+        # The shift max(lp - quad) omits the bounded -0.5*log(prod) part, so
+        # exp args stay <= 0 and the rsqrt factors (e^(+-15)ish) can't
+        # overflow; the logsumexp value is exact for any finite shift.
+        base3 = (lp - quad).reshape(G, A, BLK)
+        rq3 = jax.lax.rsqrt(prod).reshape(G, A, BLK)
+        mxs = base3[:, 0]
         for o in range(1, A):
-            mxs = jnp.maximum(mxs, score3[:, o])
-        w = [jnp.exp(score3[:, o] - mxs) for o in range(A)]
+            mxs = jnp.maximum(mxs, base3[:, o])
+        w = [jnp.exp(base3[:, o] - mxs) * rq3[:, o] for o in range(A)]
         sw = w[0]
         for o in range(1, A):
             sw = sw + w[o]
@@ -313,6 +325,9 @@ def forward_pallas(positions,
     lp0, s20, lt, lsurv, end, sig2v = [
         v.astype(f32)[:, None]
         for v in build_slot_tables(tables, W, n)]
+    # the kernel drops the per-step 2*pi normalizer constants; every fusion
+    # adds lt, so the per-fusion constant folds here (exact)
+    lt = lt - f32(0.5 * D * np.log(2 * np.pi))
     ltn, s2n, lsn, endn = [v.astype(f32)
                            for v in build_next_tables(tables, W, n)]
 

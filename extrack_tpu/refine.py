@@ -542,6 +542,15 @@ def do_gifs_from_params(all_tracks, params, dt, gif_pathnames="./tracks",
               nb_pix=nb_pix, fps=fps, max_tracks=max_tracks)
 
 
+def _pallas_eligible(S: int, window: int, T: int, D: int) -> bool:
+    K = S ** window
+    KS = K // S
+    if K % 8 or KS % 8:
+        return False
+    from extrack_tpu.ops.pallas_refine import refine_block_cap
+    return refine_block_cap(T, D, K, KS, min(8, KS)) >= 128
+
+
 def position_refinement(all_tracks: Dict[str, np.ndarray],
                         LocErr,
                         ds,
@@ -549,7 +558,8 @@ def position_refinement(all_tracks: Dict[str, np.ndarray],
                         TrMat,
                         frame_len: int = 7,
                         threshold: float = 0.1,
-                        max_nb_states: int = 1000
+                        max_nb_states: int = 1000,
+                        compute_engine: str = "auto"
                         ) -> Tuple[Dict[str, np.ndarray],
                                    Dict[str, np.ndarray]]:
     """Reference-compatible driver (refined_localization.py:304-338).
@@ -559,16 +569,32 @@ def position_refinement(all_tracks: Dict[str, np.ndarray],
     compatibility (the fixed window replaces threshold pruning).  Returns
     (mus, sigmas) dicts; sigmas follow the reference in reporting the
     first-dimension std per position.
+
+    compute_engine: 'auto' uses the VMEM-resident Pallas refinement kernel
+    on TPU (S**frame_len a multiple of 8; per-peak LocErr supported);
+    'xla'/'pallas' force a path.
     """
     del Fs, threshold, max_nb_states  # fractions don't enter refinement
     batch = tdata.from_dict(
         all_tracks,
         input_loc_err=LocErr if isinstance(LocErr, dict) else None)
-    # the pairwise prefix x suffix mixture is O(K^2/S) per position: chunk
-    # the batch so intermediates stay bounded (~2GB HBM; small chunks cost
-    # a dispatch+sync each — 287 of them dominated the 10^6-track wall)
-    chunk = max(256, (1 << 26) // (batch.max_len *
-                                   max(1, 2 ** (2 * frame_len - 3))))
+    S = np.asarray(TrMat).shape[0]
+    use_pallas = (compute_engine == "pallas"
+                  or (compute_engine == "auto"
+                      and jax.default_backend() == "tpu"
+                      and _pallas_eligible(S, frame_len, batch.max_len,
+                                           batch.nb_dims)))
+    if use_pallas:
+        # the kernel streams lane blocks itself; one dispatch per 2^20
+        # tracks keeps HBM intermediates bounded without sync churn
+        chunk = 1 << 20
+    else:
+        # the XLA pairwise prefix x suffix mixture is O(K^2/S) per
+        # position: chunk the batch so intermediates stay bounded (~2GB
+        # HBM; small chunks cost a dispatch+sync each — 287 of them
+        # dominated the 10^6-track wall)
+        chunk = max(256, (1 << 26) // (batch.max_len *
+                                       max(1, 2 ** (2 * frame_len - 3))))
     if batch.batch_size > chunk:
         batch = batch.pad_batch_to(
             int(np.ceil(batch.batch_size / chunk)) * chunk)
@@ -588,10 +614,18 @@ def position_refinement(all_tracks: Dict[str, np.ndarray],
     mu_parts, sig_parts = [], []
     for c in range(int(np.ceil(batch.batch_size / chunk))):
         sl = slice(c * chunk, (c + 1) * chunk)
-        mu_c, sig_c = refine_positions(
-            batch.positions[sl], batch.lengths[sl],
-            loc_err2[sl] if per_peak else loc_err2,
-            log_trans, sig2_states, window=frame_len)
+        if use_pallas:
+            from extrack_tpu.ops.pallas_refine import refine_pallas
+            mu_c, sig_c = refine_pallas(
+                batch.positions[sl], batch.lengths[sl],
+                loc_err2[sl] if per_peak else loc_err2,
+                log_trans, sig2_states, window=frame_len,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            mu_c, sig_c = refine_positions(
+                batch.positions[sl], batch.lengths[sl],
+                loc_err2[sl] if per_peak else loc_err2,
+                log_trans, sig2_states, window=frame_len)
         mu_parts.append(np.asarray(mu_c))
         sig_parts.append(np.asarray(sig_c))
     mu = np.concatenate(mu_parts)

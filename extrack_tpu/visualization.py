@@ -28,15 +28,19 @@ def visualize_states_durations(all_tracks,
                                nb_steps_lim: int = 20,
                                steps: bool = False,
                                input_LocErr=None,
+                               window: int = 7,
                                ax=None):
     """Log-scale plot of the posterior state-duration distributions.
-    Reference: visualization.py:6-59.  Returns the histogram array."""
+    Reference: visualization.py:6-59.  Returns the histogram array.
+    ``window`` is forwarded to len_hist (the fusion window of the default
+    engine; the GUI's frame_len option maps here)."""
     if long_tracks:
         all_tracks = {k: v for k, v in all_tracks.items()
                       if int(k) >= nb_steps_lim} or all_tracks
     hists = thist.len_hist(all_tracks, params, dt, cell_dims=cell_dims,
                            nb_states=nb_states, max_nb_states=max_nb_states,
-                           workers=workers, input_LocErr=input_LocErr)
+                           workers=workers, input_LocErr=input_LocErr,
+                           window=window)
     scale = 1.0 if steps else dt
     unit = "step" if steps else "s"
     if ax is None:

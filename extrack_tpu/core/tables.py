@@ -164,6 +164,10 @@ def build_tables(Ds,
     per frame.  pBL: bleaching probability per frame.  dt: scalar or (Tm1,)
     or (B, Tm1) frame interval(s).
     """
+    # runs at trace time, before the enclosing program compiles — the one
+    # choke point every driver passes through
+    from extrack_tpu import config
+    config.ensure_cache_tuning()
     Ds = jnp.asarray(Ds)
     Fs = jnp.asarray(Fs)
     dt = jnp.asarray(dt)

@@ -462,6 +462,26 @@ def decode_segments(seqs, weights, lengths, nb_states: int):
 # ---------------------------------------------------------------------------
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("nb_states", "cell_dims", "window", "min_len",
+                     "matrix_type", "mesh", "compute_engine"))
+def _hist_sharded_from_values(values, positions, lengths, is_bleached,
+                              loc_err_in, dt_arr, *, nb_states, cell_dims,
+                              window, min_len, matrix_type, mesh,
+                              compute_engine):
+    """Table build + shard_map histogram in one jit (mesh is static)."""
+    from extrack_tpu.parallel import mesh as pmesh
+    Ds, Fs, rates, loc_err, pBL = tparams.extract_arrays(
+        values, nb_states, input_loc_err=loc_err_in)
+    tb = ttables.build_tables(Ds, loc_err, Fs, rates, pBL, dt_arr,
+                              cell_dims=cell_dims, matrix_type=matrix_type)
+    b = tdata.TrackBatch(positions, lengths, None, is_bleached)
+    return pmesh.sharded_histogram(b, tb, window=window, min_len=min_len,
+                                   mesh=mesh,
+                                   compute_engine=compute_engine)
+
+
+@functools.partial(
     jax.jit, static_argnames=("nb_states", "cell_dims", "matrix_type",
                               "engine", "window", "max_nb_states",
                               "min_len", "nb_substeps"))
@@ -501,7 +521,8 @@ def len_hist(all_tracks: Dict[str, np.ndarray],
              matrix_type: int = 1,
              engine: str = "window",
              window: int = 7,
-             chunk: Optional[int] = None) -> np.ndarray:
+             chunk: Optional[int] = None,
+             sharded: bool = False) -> np.ndarray:
     """Reference-compatible driver (extrack/histograms.py:294-373).
 
     Returns (max_track_len, S).  ``workers`` accepted for compatibility.
@@ -512,10 +533,15 @@ def len_hist(all_tracks: Dict[str, np.ndarray],
 
     engine='window' (default) uses the sort-free fixed-window DP
     (window_segment_histogram) — on TPU it auto-upgrades to the
-    VMEM-resident Pallas kernel when eligible (nb_substeps=1, constant dt,
-    no per-peak errors); engine='topk' keeps the explicit
+    VMEM-resident Pallas kernel when eligible (nb_substeps=1; per-peak
+    LocErr and variable dt included); engine='topk' keeps the explicit
     top-``max_nb_states``-sequences register matching the reference's
     pruning rule (nb_substeps=1 only); engine='pallas'/'xla' force a path.
+
+    ``sharded=True`` shards the tracks over a 1-D data mesh of all
+    available devices; per-shard histograms psum over ICI
+    (parallel.mesh.sharded_histogram; the reference reduces per-chunk
+    histograms from its pool the same way, extrack/histograms.py:360-367).
     """
     del workers
     if nb_substeps != 1 and engine not in ("window", "xla"):
@@ -528,14 +554,18 @@ def len_hist(all_tracks: Dict[str, np.ndarray],
                             dt=dt if isinstance(dt, dict) else None)
     window_sub = nb_substeps * (window - 1) + 1
     if (engine == "window" and not force_xla
-            and jax.default_backend() == "tpu"
-            and nb_substeps == 1 and batch.dt is None
-            and input_LocErr is None):
+            and jax.default_backend() == "tpu" and nb_substeps == 1):
         from extrack_tpu.ops import pallas_hist
         if pallas_hist.hist_block_cap(batch.max_len, batch.nb_dims,
                                       nb_states ** window_sub,
                                       nb_states) >= 128:
             engine = "pallas"
+        else:
+            import warnings
+            warnings.warn(
+                "len_hist: register for this window/track length exceeds "
+                "the kernel's VMEM budget; falling back to the XLA scan "
+                "(slower).", RuntimeWarning, stacklevel=2)
     if chunk is None:
         # bound the scan carry (~K*S*T floats/track plus ~4x intermediates);
         # the VMEM-resident kernel streams per grid block and needs no
@@ -550,9 +580,20 @@ def len_hist(all_tracks: Dict[str, np.ndarray],
     values = (params.resolve()
               if isinstance(params, tparams.Parameters) else params)
     cell = tuple(c for c in cell_dims if c is not None)
-    dt_arr = batch.dt if batch.dt is not None else jnp.asarray(dt)
     lens = np.asarray(batch.lengths)
     min_len = int(lens[lens >= 2].min()) if (lens >= 2).any() else 2
+    if sharded and engine in ("window", "pallas"):
+        from extrack_tpu.parallel import mesh as pmesh
+        mesh = pmesh.make_mesh()
+        batch = pmesh.shard_batch(batch, mesh)
+        dt_arr = batch.dt if batch.dt is not None else jnp.asarray(dt)
+        return np.asarray(_hist_sharded_from_values(
+            values, batch.positions, batch.lengths, batch.is_bleached,
+            batch.loc_err if input_LocErr is not None else None, dt_arr,
+            nb_states=nb_states, cell_dims=cell, window=window_sub,
+            min_len=min_len, matrix_type=matrix_type, mesh=mesh,
+            compute_engine="pallas" if engine == "pallas" else "xla"))
+    dt_arr = batch.dt if batch.dt is not None else jnp.asarray(dt)
     # round the top-k register up to a lane-friendly multiple of 128
     M = max(int(np.ceil(max_nb_states / 128)) * 128, 128)
     kw = dict(nb_states=nb_states, cell_dims=cell, matrix_type=matrix_type,

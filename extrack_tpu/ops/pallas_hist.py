@@ -34,7 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from extrack_tpu.core.engine import make_register_spec
 from extrack_tpu.core.tables import ModelTables
-from extrack_tpu.ops.pallas_engine import VMEM_LIMIT, build_slot_tables
+from extrack_tpu.ops.pallas_engine import (VMEM_LIMIT, _expand_rows,
+                                           _sig2_stream, build_slot_tables)
 
 _TINY = 1e-30
 
@@ -53,7 +54,7 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
             lsv_ref, endv_ref, s2v_ref, eold_ref, extok_ref, extsel_ref,
             segint_ref, segall_ref, out_ref, m_sc, s2_sc, lp_sc, run_sc,
             hist_sc, *, T, TP, W, D, K, A, G, S, BLK, min_len,
-            distinct_ext):
+            distinct_ext, per_step=False):
     """``distinct_ext``: static tuple of the distinct oldest-run lengths.
     ``eold_ref`` (K, S) one-hot of the oldest state, ``extok_ref`` (K, 1)
     1.0 where the next frame extends the oldest run, ``extsel_ref``
@@ -66,10 +67,19 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
     # into the sublane axis are layout-preserving only when the inner row
     # count is a tile multiple (Mosaic rejects the shape cast otherwise)
     ST = S * TP
+    P = S * S                                    # nb_substeps == 1
+
+    def s2_slot_table(t):
+        # (K, BLK) displacement variance of step t, in slot encoding
+        return _expand_rows(lambda p: s2v_ref[pl.ds(t * P + p, 1), :],
+                            P, K // P, BLK)
 
     for d in range(D):
         m_sc[d] = jnp.broadcast_to(xs_ref[pl.ds(d, 1), :], (K, BLK))
-        s2_sc[d] = l2_ref[pl.ds(d, 1), :] + s20_ref[:]
+        if per_step:
+            s2_sc[d] = l2_ref[pl.ds(d, 1), :] + s2_slot_table(0)
+        else:
+            s2_sc[d] = l2_ref[pl.ds(d, 1), :] + s20_ref[:]
     lp_sc[:] = jnp.broadcast_to(lp0_ref[:], (K, BLK))
     row_t = jax.lax.broadcasted_iota(jnp.int32, (TP, 1), 0)[None]
     unit0 = jnp.where(row_t == 0,
@@ -191,6 +201,8 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
         hist_sc[:] = hist_after
 
         # ---- register update (same math as pallas_engine) ----------------
+        s2_add = (s2_slot_table(jnp.minimum(t, T - 2)) if per_step
+                  else s2v_ref[:])
         for d in range(D):
             nm3 = new_m[d].reshape(G, A, BLK)
             tl3 = tail[d].reshape(G, A, BLK)
@@ -201,7 +213,7 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
                 t_f += wn[o] * tl3[:, o]
             m_sc[d] = jnp.where(keep, pltpu.repeat(m_f, A, axis=0), m_sc[d])
             s2_sc[d] = jnp.where(keep,
-                                 s2v_ref[:] + pltpu.repeat(t_f, A, axis=0),
+                                 s2_add + pltpu.repeat(t_f, A, axis=0),
                                  s2_sc[d])
         lp_new = (pltpu.repeat(lp_f, A, axis=0) + ltv_ref[:]
                   + gate * lsv_ref[:])
@@ -225,7 +237,9 @@ def hist_pallas(positions,
                 interpret: bool = False):
     """(T, S) posterior-expected segment-length histogram — VMEM-resident
     kernel.  Same semantics as histograms.window_segment_histogram with
-    nb_substeps=1, constant dt, float32.
+    nb_substeps=1, float32.  Per-peak LocErr rides the streamed ``l2``
+    table; per-step / per-track dt streams the displacement-variance
+    table exactly as in ops.pallas_engine.
     """
     from extrack_tpu.histograms import _segment_tables
 
@@ -236,8 +250,14 @@ def hist_pallas(positions,
     G = K // A
     TP = -(-T // 8) * 8      # bin rows padded to the 8-sublane tile
     ST = S * TP
-    if tables.sig2.reshape(-1, tables.sig2.shape[-1]).shape[0] != 1:
-        raise NotImplementedError("pallas hist requires constant dt")
+    P = S * S
+    sig2 = tables.sig2
+    sig2_rows = sig2.reshape(-1, sig2.shape[-1]).shape[0] // (
+        sig2.shape[0] if sig2.ndim == 3 else 1)
+    per_step = sig2_rows != 1
+    if per_step and sig2_rows != T - 1:
+        raise NotImplementedError(
+            f"per-step sig2 must have T-1={T - 1} rows, got {sig2_rows}")
 
     f32 = jnp.float32
     lp0, s20, lt, lsurv, end, sig2v = [
@@ -286,7 +306,7 @@ def hist_pallas(positions,
     kernel = functools.partial(_kernel, T=T, TP=TP, W=W, D=D, K=K, A=A,
                                G=G, S=S,
                                BLK=BLK, min_len=min_len,
-                               distinct_ext=distinct_ext)
+                               distinct_ext=distinct_ext, per_step=per_step)
     grid = (Bp // BLK,)
     track_spec = pl.BlockSpec((T * D, BLK), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
@@ -304,12 +324,16 @@ def hist_pallas(positions,
                                memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((ST, BLK), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
+    if per_step:
+        sig2v, s2v_spec = _sig2_stream(sig2, T, P, B, Bp, BLK, f32)
+    else:
+        s2v_spec = vec_spec
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[track_spec, track_spec, row_spec, row_spec,
                   vec_spec, vec_spec, vec_spec, vec_spec, vec_spec,
-                  vec_spec, eold_spec, vec_spec, extsel_spec,
+                  s2v_spec, eold_spec, vec_spec, extsel_spec,
                   segint_spec, segall_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((ST, Bp), f32),

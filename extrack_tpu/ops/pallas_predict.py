@@ -37,7 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from extrack_tpu.core.tables import ModelTables
 from extrack_tpu.core.engine import make_register_spec
-from extrack_tpu.ops.pallas_engine import (VMEM_LIMIT, build_next_tables,
+from extrack_tpu.ops.pallas_engine import (VMEM_LIMIT, _expand_rows,
+                                           _sig2_stream, build_next_tables,
                                            build_slot_tables)
 
 _TINY = 1e-30
@@ -57,14 +58,27 @@ def predict_block_cap(T: int, W: int, D: int, K: int, S: int) -> int:
 def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
             lsv_ref, endv_ref, s2v_ref, ltn_ref, s2n_ref, lsn_ref, endn_ref,
             onehot_ref, logl_ref, preds_ref, m_sc, s2_sc, lp_sc, cat_sc,
-            *, T, W, D, K, A, G, S, BLK, min_len):
+            *, T, W, D, K, A, G, S, BLK, min_len, per_step=False):
     lengths = len_ref[0, :]                      # (BLK,) int32
     isbl = isbl_ref[0, :][None, :]               # (1, BLK)
-    TPS = (T + W) * S
+    # history rows padded to the 8-sublane tile: the leading-axis reduce in
+    # harvest and the (G*TPS, BLK) merges need 8-aligned inner row counts
+    TPS = -(-((T + W) * S) // 8) * 8
+    OHP = -(-(W * S) // 8) * 8
+    P = S * S                                    # nb_substeps == 1
+    QP = K // P
+
+    def s2_slot_table(t):
+        # (K, BLK) displacement variance of step t, in slot encoding
+        return _expand_rows(lambda p: s2v_ref[pl.ds(t * P + p, 1), :],
+                            P, QP, BLK)
 
     for d in range(D):
         m_sc[d] = jnp.broadcast_to(xs_ref[pl.ds(d, 1), :], (K, BLK))
-        s2_sc[d] = l2_ref[pl.ds(d, 1), :] + s20_ref[:]
+        if per_step:
+            s2_sc[d] = l2_ref[pl.ds(d, 1), :] + s2_slot_table(0)
+        else:
+            s2_sc[d] = l2_ref[pl.ds(d, 1), :] + s20_ref[:]
     lp_sc[:] = jnp.broadcast_to(lp0_ref[:], (K, BLK))
     cat_sc[:] = jnp.zeros((K, TPS, BLK), jnp.float32)
     preds_ref[:] = jnp.zeros((T * S, BLK), jnp.float32)
@@ -106,16 +120,23 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
         # look-ahead closing logL (identical to pallas_engine)
         def close_lookahead(_):
             tn = jnp.minimum(t + 1, T - 1)
+            tc = jnp.minimum(t, T - 2)
             base_n = lp + lc
             gs, rs = [], []
             mx_n = jnp.full((1, BLK), -jnp.inf, jnp.float32)
             for a in range(A):
+                if per_step:
+                    # child pair = (pattern a, parent newest state)
+                    s2n_a = _expand_rows(
+                        lambda s: s2v_ref[pl.ds(tc * P + a * S + s, 1), :],
+                        S, K // S, BLK)
                 prod_n = jnp.ones((K, BLK), jnp.float32)
                 quad_n = jnp.zeros((K, BLK), jnp.float32)
                 for d in range(D):
                     xn = xs_ref[pl.ds(tn * D + d, 1), :]
                     l2n = l2_ref[pl.ds(tn * D + d, 1), :]
-                    totn = s2n_ref[:, a:a + 1] + tail[d] + l2n
+                    totn = (s2n_a if per_step
+                            else s2n_ref[:, a:a + 1]) + tail[d] + l2n
                     diffn = xn - new_m[d]
                     prod_n *= 2 * np.pi * totn
                     quad_n += 0.5 * diffn * diffn / totn
@@ -165,7 +186,10 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
         cat_new = pltpu.repeat(mixed.reshape(G * TPS, BLK), A, axis=0
                                ).reshape(K, TPS, BLK)
         cat_old = cat_sc[:]
-        cat_after = jnp.where(keep[None], cat_new, cat_old)
+        # store BEFORE the harvest: the repeat/reshape chain leaves the
+        # value with an implicit-dim layout Mosaic can't feed into the 3D
+        # leading-axis reduce below; the scratch round-trip normalizes it
+        cat_sc[:] = jnp.where(keep[None], cat_new, cat_old)
 
         # ---- posteriors of tracks ending at this frame -------------------
         def harvest(_):
@@ -173,12 +197,11 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
             e = jnp.exp(fin - mxf)
             pbar = e / jnp.maximum(jnp.sum(e, axis=0, keepdims=True),
                                    _TINY)                 # (K, BLK)
-            hist = jnp.zeros((TPS, BLK), jnp.float32)
-            wpost = jnp.zeros((W * S, BLK), jnp.float32)
-            for k in range(K):
-                pk = pbar[k:k + 1]                        # (1, BLK)
-                hist = hist + cat_after[k] * pk
-                wpost = wpost + onehot_ref[:, k:k + 1] * pk
+            # broadcast-multiply + leading-axis reduce (K unrolls explode
+            # Mosaic compile time); the window part is one MXU matmul
+            hist = jnp.sum(cat_sc[:] * pbar[:, None, :], axis=0)
+            wpost = jnp.dot(onehot_ref[:], pbar,
+                            preferred_element_type=jnp.float32)  # (OHP, BLK)
             # overwrite the last W frames' slots (t+1 .. t+W) with wpost
             rows = jax.lax.broadcasted_iota(jnp.int32, (TPS, 1), 0)
             base = (t + 1) * S  # dynamic scalar; rows compare per-row
@@ -191,7 +214,8 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
             jnp.any(t == lengths - 1), harvest,
             lambda _: jnp.zeros((T * S, BLK), jnp.float32), None)
 
-        cat_sc[:] = cat_after
+        s2_add = (s2_slot_table(jnp.minimum(t, T - 2)) if per_step
+                  else s2v_ref[:])
         for d in range(D):
             nm3 = new_m[d].reshape(G, A, BLK)
             tl3 = tail[d].reshape(G, A, BLK)
@@ -202,7 +226,7 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
                 t_f += wn[o] * tl3[:, o]
             m_sc[d] = jnp.where(keep, pltpu.repeat(m_f, A, axis=0), m_sc[d])
             s2_sc[d] = jnp.where(keep,
-                                 s2v_ref[:] + pltpu.repeat(t_f, A, axis=0),
+                                 s2_add + pltpu.repeat(t_f, A, axis=0),
                                  s2_sc[d])
         lp_new = (pltpu.repeat(lp_f, A, axis=0) + ltv_ref[:]
                   + gate * lsv_ref[:])
@@ -228,15 +252,23 @@ def predict_pallas(positions,
     """(logL (B,), preds (B, T, S)) — VMEM-resident posterior kernel.
 
     Same semantics as core.engine.forward(..., return_preds=True); float32,
-    nb_substeps=1, constant dt.
+    nb_substeps=1.  Per-peak LocErr rides the streamed ``l2`` table;
+    per-step / per-track dt streams the displacement-variance table
+    exactly as in ops.pallas_engine.
     """
     B, T, D = positions.shape
     S = tables.nb_states
     W = window
     K, A = S ** W, S
     G = K // A
-    if tables.sig2.reshape(-1, tables.sig2.shape[-1]).shape[0] != 1:
-        raise NotImplementedError("pallas predict requires constant dt")
+    P = S * S
+    sig2 = tables.sig2
+    sig2_rows = sig2.reshape(-1, sig2.shape[-1]).shape[0] // (
+        sig2.shape[0] if sig2.ndim == 3 else 1)
+    per_step = sig2_rows != 1
+    if per_step and sig2_rows != T - 1:
+        raise NotImplementedError(
+            f"per-step sig2 must have T-1={T - 1} rows, got {sig2_rows}")
 
     f32 = jnp.float32
     lp0, s20, lt, lsurv, end, sig2v = [
@@ -248,6 +280,8 @@ def predict_pallas(positions,
     onehot = np.transpose(
         (spec.codes[:, ::-1, None] == np.arange(S)).astype(np.float32),
         (1, 2, 0)).reshape(W * S, K)              # row w*S+s, col k
+    OHP = -(-(W * S) // 8) * 8                    # 8-aligned matmul rows
+    onehot = np.pad(onehot, ((0, OHP - W * S), (0, 0)))
 
     cap = predict_block_cap(T, W, D, K, S)
     if cap < 128:
@@ -268,7 +302,7 @@ def predict_pallas(positions,
     isbl = is_bleached.astype(f32)[None, :]
 
     kernel = functools.partial(_kernel, T=T, W=W, D=D, K=K, A=A, G=G, S=S,
-                               BLK=BLK, min_len=min_len)
+                               BLK=BLK, min_len=min_len, per_step=per_step)
     grid = (Bp // BLK,)
     track_spec = pl.BlockSpec((T * D, BLK), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
@@ -278,16 +312,20 @@ def predict_pallas(positions,
                             memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((K, A), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
-    oh_spec = pl.BlockSpec((W * S, K), lambda i: (0, 0),
+    oh_spec = pl.BlockSpec((OHP, K), lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
     preds_spec = pl.BlockSpec((T * S, BLK), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
+    if per_step:
+        sig2v, s2v_spec = _sig2_stream(sig2, T, P, B, Bp, BLK, f32)
+    else:
+        s2v_spec = vec_spec
     logl, preds = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[track_spec, track_spec, row_spec, row_spec,
                   vec_spec, vec_spec, vec_spec, vec_spec, vec_spec,
-                  vec_spec, mat_spec, mat_spec, mat_spec, mat_spec,
+                  s2v_spec, mat_spec, mat_spec, mat_spec, mat_spec,
                   oh_spec],
         out_specs=[row_spec, preds_spec],
         out_shape=[jax.ShapeDtypeStruct((1, Bp), f32),
@@ -295,7 +333,8 @@ def predict_pallas(positions,
         scratch_shapes=[pltpu.VMEM((D, K, BLK), f32),
                         pltpu.VMEM((D, K, BLK), f32),
                         pltpu.VMEM((K, BLK), f32),
-                        pltpu.VMEM((K, (T + W) * S, BLK), f32)],
+                        pltpu.VMEM((K, -(-((T + W) * S) // 8) * 8, BLK),
+                                   f32)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,

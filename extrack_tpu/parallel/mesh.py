@@ -110,3 +110,87 @@ def sharded_log_likelihood(batch: tdata.TrackBatch, tables: ModelTables,
         return jax.lax.psum(local, DATA_AXIS)
 
     return shard_fn(batch.positions, batch.lengths, batch.is_bleached, tables)
+
+
+def sharded_posteriors(batch: tdata.TrackBatch, tables: ModelTables, *,
+                       window: int = 5, min_len: int = 3, mesh: Mesh,
+                       compute_engine: str = "xla"):
+    """(logl (B,), preds (B, T, S)) with tracks sharded over the data axis.
+
+    Per-track outputs need no collective — they stay sharded like their
+    inputs (the reference parallelizes annotation over its fork pool the
+    same way, extrack/tracking.py:890-896).  compute_engine='pallas' runs
+    the VMEM posterior kernel on each chip's shard.
+    """
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                  table_specs(tables, batch.positions.shape[0])),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)), check_vma=False)
+    def shard_fn(pos, lengths, isbl, tb):
+        if compute_engine == "pallas":
+            from extrack_tpu.ops import pallas_predict
+            return pallas_predict.predict_pallas(
+                pos, lengths, isbl, tb, window=window, min_len=min_len,
+                interpret=jax.default_backend() != "tpu")
+        return engine.forward(pos, lengths, isbl, tb, window=window,
+                              min_len=min_len, return_preds=True)
+
+    return shard_fn(batch.positions, batch.lengths, batch.is_bleached,
+                    tables)
+
+
+def sharded_histogram(batch: tdata.TrackBatch, tables: ModelTables, *,
+                      window: int = 7, min_len: int = 3, mesh: Mesh,
+                      compute_engine: str = "xla"):
+    """(T, S) duration histogram: per-shard histograms psum over ICI
+    (the reference reduces per-chunk histograms the same way,
+    extrack/histograms.py:360-367)."""
+    from extrack_tpu import histograms
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                  table_specs(tables, batch.positions.shape[0])),
+        out_specs=P(), check_vma=False)
+    def shard_fn(pos, lengths, isbl, tb):
+        if compute_engine == "pallas":
+            from extrack_tpu.ops import pallas_hist
+            local = pallas_hist.hist_pallas(
+                pos, lengths, isbl, tb, window=window, min_len=min_len,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            local = histograms.window_segment_histogram(
+                pos, lengths, isbl, tb, window=window, min_len=min_len)
+        return jax.lax.psum(local, DATA_AXIS)
+
+    return shard_fn(batch.positions, batch.lengths, batch.is_bleached,
+                    tables)
+
+
+def sharded_refine(positions, lengths, loc_err2, log_trans, sig2_states, *,
+                   window: int = 7, mesh: Mesh,
+                   compute_engine: str = "xla"):
+    """(mu (B,T,D), sigma (B,T,D)) with tracks sharded over the data axis.
+    ``loc_err2`` shards with the tracks when per-peak (B, T, D),
+    replicates otherwise."""
+    from extrack_tpu import refine as trefine
+
+    B = positions.shape[0]
+    le_spec = (P(DATA_AXIS, None, None)
+               if loc_err2.ndim == 3 and loc_err2.shape[0] == B else P())
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), le_spec, P(), P()),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)), check_vma=False)
+    def shard_fn(pos, lens, le2, lt, s2):
+        if compute_engine == "pallas":
+            from extrack_tpu.ops import pallas_refine
+            return pallas_refine.refine_pallas(
+                pos, lens, le2, lt, s2, window=window,
+                interpret=jax.default_backend() != "tpu")
+        return trefine.refine_positions(pos, lens, le2, lt, s2,
+                                        window=window)
+
+    return shard_fn(positions, lengths, loc_err2, log_trans, sig2_states)

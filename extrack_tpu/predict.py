@@ -4,7 +4,7 @@ Equivalent of the reference predict_Bs (extrack/tracking.py:792-906): runs
 the likelihood engine with posterior accumulation and returns, per track, the
 probability of each localization being in each state.  Where the reference
 chunks one track at a time through a fork pool (nb_max=1, tracking.py:803),
-everything here is one batched scan — vmapped over tracks, sharded over chips.
+everything here is one batched scan (a VMEM-resident Pallas kernel on TPU).
 """
 from __future__ import annotations
 
@@ -56,7 +56,8 @@ def predict_batch(batch: tdata.TrackBatch,
                   matrix_type: int = 1,
                   input_loc_err: bool = False,
                   chunk_size: int = 16384,
-                  compute_engine: str = "auto"):
+                  compute_engine: str = "auto",
+                  sharded: bool = False):
     """(logl (B,), preds (B, T, S)) for a TrackBatch.
 
     The posterior scan carries per-track history (~K*T*S floats per track in
@@ -65,7 +66,12 @@ def predict_batch(batch: tdata.TrackBatch,
     single-track chunks, extrack/tracking.py:803).
 
     compute_engine: 'auto' uses the VMEM-resident Pallas posterior kernel
-    on TPU (constant dt, scalar/per-dim LocErr); 'xla'/'pallas' force.
+    on TPU (per-peak LocErr and per-step/per-track dt included);
+    'xla'/'pallas' force a path.  ``sharded=True`` shards the batch over a
+    1-D data mesh of all available devices and runs the (Pallas or XLA)
+    posterior per shard — per-track outputs need no collective
+    (parallel.mesh.sharded_posteriors; the reference parallelizes
+    annotation over its fork pool too, extrack/tracking.py:890-896).
     """
     values = (spec_or_values.resolve()
               if isinstance(spec_or_values, tparams.Parameters)
@@ -73,11 +79,25 @@ def predict_batch(batch: tdata.TrackBatch,
     if min_len is None:
         lens = np.asarray(batch.lengths)
         min_len = int(lens[lens >= 2].min()) if (lens >= 2).any() else 2
+    if sharded:
+        from extrack_tpu.parallel import mesh as pmesh
+        mesh = pmesh.make_mesh()
+        B = batch.batch_size
+        batch = pmesh.shard_batch(batch, mesh)
+        dt_arr = batch.dt if batch.dt is not None else jnp.asarray(dt)
+        use_pallas = (compute_engine in ("auto", "pallas")
+                      and jax.default_backend() == "tpu")
+        logl, preds = _predict_sharded_from_values(
+            values, batch.positions, batch.lengths, batch.is_bleached,
+            batch.loc_err if input_loc_err else None, dt_arr,
+            nb_states=nb_states, cell_dims=tuple(cell_dims), window=window,
+            min_len=min_len, matrix_type=matrix_type, mesh=mesh,
+            compute_engine="pallas" if use_pallas else "xla")
+        return logl[:B], preds[:B]
 
     use_pallas = (compute_engine == "pallas"
                   or (compute_engine == "auto"
-                      and jax.default_backend() == "tpu"
-                      and batch.dt is None and not input_loc_err))
+                      and jax.default_backend() == "tpu"))
     if use_pallas:
         from extrack_tpu.ops import pallas_predict
         try:
@@ -107,7 +127,9 @@ def predict_batch(batch: tdata.TrackBatch,
         if use_pallas:
             return _predict_pallas_from_values(
                 values, batch.positions[sl], batch.lengths[sl],
-                batch.is_bleached[sl], dt_arr, **kw)
+                batch.is_bleached[sl],
+                batch.loc_err[sl] if input_loc_err else None,
+                dt_arr[sl] if dt_arr.ndim > 1 else dt_arr, **kw)
         return forward_from_values(
             values, batch.positions[sl], batch.lengths[sl],
             batch.is_bleached[sl],
@@ -127,13 +149,37 @@ def predict_batch(batch: tdata.TrackBatch,
 @functools.partial(
     jax.jit,
     static_argnames=("nb_states", "cell_dims", "window", "min_len",
+                     "matrix_type", "mesh", "compute_engine"))
+def _predict_sharded_from_values(values, positions, lengths, is_bleached,
+                                 loc_err_in, dt_arr, *, nb_states,
+                                 cell_dims, window, min_len, matrix_type,
+                                 mesh, compute_engine):
+    """Table build + shard_map posterior in one jit (mesh is static)."""
+    from extrack_tpu.parallel import mesh as pmesh
+    Ds, Fs, rates, loc_err, pBL = tparams.extract_arrays(
+        values, nb_states, input_loc_err=loc_err_in)
+    tb = tables.build_tables(Ds, loc_err, Fs, rates, pBL, dt_arr,
+                             cell_dims=cell_dims, nb_substeps=1,
+                             matrix_type=matrix_type)
+    b = tdata.TrackBatch(positions, lengths, None, is_bleached)
+    return pmesh.sharded_posteriors(b, tb, window=window, min_len=min_len,
+                                    mesh=mesh,
+                                    compute_engine=compute_engine)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nb_states", "cell_dims", "window", "min_len",
                      "matrix_type"))
 def _predict_pallas_from_values(values, positions, lengths, is_bleached,
-                                dt_arr, *, nb_states, cell_dims, window,
-                                min_len, matrix_type=1):
-    """Table build + Pallas posterior kernel in one jit."""
+                                loc_err_in, dt_arr, *, nb_states, cell_dims,
+                                window, min_len, matrix_type=1):
+    """Table build + Pallas posterior kernel in one jit.  Per-peak LocErr
+    and per-step/per-track dt stream through the kernel's l2 / sig2
+    tables (ops.pallas_predict)."""
     from extrack_tpu.ops import pallas_predict
-    Ds, Fs, rates, loc_err, pBL = tparams.extract_arrays(values, nb_states)
+    Ds, Fs, rates, loc_err, pBL = tparams.extract_arrays(
+        values, nb_states, input_loc_err=loc_err_in)
     tb = tables.build_tables(Ds, loc_err, Fs, rates, pBL, dt_arr,
                              cell_dims=cell_dims, nb_substeps=1,
                              matrix_type=matrix_type)

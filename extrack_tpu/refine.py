@@ -446,6 +446,16 @@ def refine_positions_fixed_states(positions, lengths, loc_err2, sig2_states,
     return jnp.where(valid, mu, 0.0), jnp.where(valid, jnp.sqrt(var), 0.0)
 
 
+@functools.partial(jax.jit, static_argnames=("window", "mesh",
+                                             "compute_engine"))
+def _refine_sharded(positions, lengths, loc_err2, log_trans, sig2_states,
+                    *, window, mesh, compute_engine):
+    from extrack_tpu.parallel import mesh as pmesh
+    return pmesh.sharded_refine(positions, lengths, loc_err2, log_trans,
+                                sig2_states, window=window, mesh=mesh,
+                                compute_engine=compute_engine)
+
+
 def save_gifs(all_tracks: Dict[str, np.ndarray],
               mus: Dict[str, np.ndarray],
               sigmas: Dict[str, np.ndarray],
@@ -559,7 +569,8 @@ def position_refinement(all_tracks: Dict[str, np.ndarray],
                         frame_len: int = 7,
                         threshold: float = 0.1,
                         max_nb_states: int = 1000,
-                        compute_engine: str = "auto"
+                        compute_engine: str = "auto",
+                        sharded: bool = False
                         ) -> Tuple[Dict[str, np.ndarray],
                                    Dict[str, np.ndarray]]:
     """Reference-compatible driver (refined_localization.py:304-338).
@@ -572,9 +583,13 @@ def position_refinement(all_tracks: Dict[str, np.ndarray],
 
     compute_engine: 'auto' uses the VMEM-resident Pallas refinement kernel
     on TPU (S**frame_len a multiple of 8; per-peak LocErr supported);
-    'xla'/'pallas' force a path.
+    'xla'/'pallas' force a path.  ``sharded=True`` shards the tracks over
+    a 1-D data mesh of all available devices and refines per shard
+    (parallel.mesh.sharded_refine).
     """
     del Fs, threshold, max_nb_states  # fractions don't enter refinement
+    from extrack_tpu import config as _config
+    _config.ensure_cache_tuning()
     batch = tdata.from_dict(
         all_tracks,
         input_loc_err=LocErr if isinstance(LocErr, dict) else None)
@@ -611,6 +626,30 @@ def position_refinement(all_tracks: Dict[str, np.ndarray],
     log_trans = jnp.asarray(np.log(np.asarray(TrMat, dtype=np.float64)),
                             dtype=batch.positions.dtype)
     per_peak = isinstance(LocErr, dict)
+    if sharded:
+        from extrack_tpu.parallel import mesh as pmesh
+        mesh = pmesh.make_mesh()
+        B0 = batch.batch_size
+        batch = pmesh.shard_batch(batch, mesh)
+        if per_peak:
+            n = batch.batch_size
+            loc_err2 = jnp.pad(
+                loc_err2, ((0, n - loc_err2.shape[0]), (0, 0), (0, 0)),
+                constant_values=1.0)
+            loc_err2 = jax.device_put(
+                loc_err2, jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec(pmesh.DATA_AXIS)))
+        mu_s, sig_s = _refine_sharded(
+            batch.positions, batch.lengths, loc_err2, log_trans,
+            sig2_states, window=frame_len, mesh=mesh,
+            compute_engine=("pallas" if use_pallas else "xla"))
+        mu = np.asarray(mu_s)[:B0]
+        sigma = np.asarray(sig_s)[:B0]
+        lengths_b = np.asarray(batch.lengths)[:B0]
+        trimmed = tdata.TrackBatch(np.asarray(batch.positions)[:B0],
+                                   lengths_b)
+        return (tdata.to_dict(trimmed, mu),
+                tdata.to_dict(trimmed, sigma[..., 0]))
     mu_parts, sig_parts = [], []
     for c in range(int(np.ceil(batch.batch_size / chunk))):
         sl = slice(c * chunk, (c + 1) * chunk)

@@ -40,3 +40,47 @@ def test_hist_kernel_blocks_and_padding():
         block=128, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("per_track", [False, True])
+def test_hist_kernel_variable_dt(per_track):
+    """Per-step / per-track dt streams through the histogram kernel."""
+    from extrack_tpu.core import tables as ttables
+    xs, lengths, isbl, _ = _setup(70 + per_track, n_tracks=24, T=9)
+    rng = np.random.default_rng(4)
+    B, T = xs.shape[0], xs.shape[1]
+    dt = (rng.uniform(0.01, 0.05, (B, T - 1)) if per_track
+          else rng.uniform(0.01, 0.05, (T - 1,)))
+    tb = ttables.build_tables(
+        jnp.asarray([0.0, 0.1]), jnp.asarray(0.02),
+        jnp.asarray([0.4, 0.6]), jnp.asarray([[0.0, 0.1], [0.15, 0.0]]),
+        jnp.asarray(0.1), jnp.asarray(dt), cell_dims=(0.8,))
+    ref = histograms.window_segment_histogram(
+        jnp.asarray(xs), jnp.asarray(lengths),
+        jnp.asarray(isbl, jnp.float32), tb, window=5, min_len=3)
+    got = pallas_hist.hist_pallas(
+        jnp.asarray(xs), jnp.asarray(lengths),
+        jnp.asarray(isbl, jnp.float32), tb, window=5, min_len=3,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_hist_kernel_per_peak_locerr():
+    from extrack_tpu.core import tables as ttables
+    xs, lengths, isbl, _ = _setup(71, n_tracks=20, T=8)
+    rng = np.random.default_rng(6)
+    loc_err = rng.uniform(0.01, 0.05, xs.shape)
+    tb = ttables.build_tables(
+        jnp.asarray([0.0, 0.1]), jnp.asarray(loc_err),
+        jnp.asarray([0.4, 0.6]), jnp.asarray([[0.0, 0.1], [0.15, 0.0]]),
+        jnp.asarray(0.1), jnp.asarray(0.02), cell_dims=(0.8,))
+    ref = histograms.window_segment_histogram(
+        jnp.asarray(xs), jnp.asarray(lengths),
+        jnp.asarray(isbl, jnp.float32), tb, window=5, min_len=3)
+    got = pallas_hist.hist_pallas(
+        jnp.asarray(xs), jnp.asarray(lengths),
+        jnp.asarray(isbl, jnp.float32), tb, window=5, min_len=3,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-4)

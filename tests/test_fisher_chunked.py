@@ -42,3 +42,54 @@ def test_fit_compute_errors_chunked():
     assert all(v > 0 for v in res.std_errors.values()), res.std_errors
     assert "LocErr" in res.std_errors
     assert abs(res.params["D1"].value - 0.08) < 0.02
+
+
+def test_hessian_fd_matches_ad():
+    """Central differences of exact gradients reproduce jax.hessian."""
+    import jax
+    import jax.numpy as jnp
+    from extrack_tpu.fit import hessian_fd_from_gradients
+
+    A = jnp.asarray(np.array([[4.0, 1.0, 0.3], [1.0, 3.0, 0.2],
+                              [0.3, 0.2, 2.0]]))
+
+    def f(z):
+        return 0.5 * z @ A @ z + jnp.sum(jnp.sin(z))
+
+    z0 = jnp.asarray([0.3, -0.7, 1.1])
+    H_ad = np.asarray(jax.hessian(f)(z0))
+    H_fd = hessian_fd_from_gradients(jax.grad(f), z0)
+    np.testing.assert_allclose(H_fd, H_ad, rtol=1e-4, atol=1e-6)
+
+
+def test_fit_errors_via_pallas_fd_path():
+    """compute_errors with the Pallas objective uses FD-of-gradients and
+    agrees with the XLA second-order path."""
+    from extrack_tpu import fit as tfit, params as tparams, simulate
+    from extrack_tpu.ops import pallas_grad
+
+    tracks, _, _ = simulate.sim_fov(
+        nb_tracks=160, max_track_len=8, min_track_len=5,
+        Ds=np.array([0.0, 0.1]), initial_fractions=np.array([0.5, 0.5]),
+        TrMat=np.array([[0.9, 0.1], [0.2, 0.8]]), LocErr=0.02,
+        cell_dims=[0.5, None, None], dt=0.02, pBL=0.05, seed=3)
+    from extrack_tpu import data as tdata
+    batch = tdata.from_dict(tracks)
+    spec = tparams.generate_params(nb_states=2, D_max=1.0,
+                                   estimated_Ds=[0.001, 0.08])
+    old = pallas_grad.INTERPRET
+    pallas_grad.INTERPRET = True
+    try:
+        r_pl = tfit.fit(batch, spec, 0.02, 2, cell_dims=(0.5,), window=5,
+                        compute_errors=True, compute_engine="pallas",
+                        max_iter=40)
+    finally:
+        pallas_grad.INTERPRET = old
+    r_xla = tfit.fit(batch, spec, 0.02, 2, cell_dims=(0.5,), window=5,
+                     compute_errors=True, compute_engine="xla",
+                     max_iter=40)
+    assert r_pl.std_errors and r_xla.std_errors
+    for k, v in r_xla.std_errors.items():
+        assert np.isfinite(r_pl.std_errors[k])
+        if v > 1e-8:
+            assert abs(r_pl.std_errors[k] - v) / v < 0.05, (k, v)

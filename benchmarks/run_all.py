@@ -25,14 +25,23 @@ import jax
 RESULTS = {}
 
 
-def timed(name):
+def timed(name, repeat_warm=True):
+    """Time fn twice: wall_cold_s includes first-call jit compilation /
+    cache loads, wall_warm_s is the steady-state repeat."""
     def deco(fn):
         def run(*a, **kw):
             t0 = time.perf_counter()
             out = fn(*a, **kw)
-            dt = time.perf_counter() - t0
-            RESULTS[name] = {"wall_s": round(dt, 3), **(out or {})}
-            print(f"{name}: {dt:.2f}s {out or ''}", flush=True)
+            cold = time.perf_counter() - t0
+            rec = {"wall_cold_s": round(cold, 3), **(out or {})}
+            if repeat_warm and not os.environ.get("EXTRACK_BENCH_NO_WARM"):
+                t0 = time.perf_counter()
+                fn(*a, **kw)
+                rec["wall_warm_s"] = round(time.perf_counter() - t0, 3)
+            RESULTS[name] = rec
+            print(f"{name}: cold {cold:.2f}s "
+                  f"warm {rec.get('wall_warm_s', float('nan'))}s "
+                  f"{out or ''}", flush=True)
             return out
         return run
     return deco
@@ -93,6 +102,30 @@ def bench_3state(n=5000):
                   nb_substeps=2, window=4, verbose=0)
     return {"logL": round(res.logl, 1), "n_evals": res.n_evals,
             "success": bool(res.success)}
+
+
+@timed("refine_2state_1M")
+def bench_refine_large(n=939_000):
+    """Production-scale refinement through the Pallas kernel."""
+    from extrack_tpu import refine, simulate
+    batches, _ = simulate.sim_fov_batch(
+        nb_tracks=n, max_track_len=10, min_track_len=3,
+        LocErr=0.02, Ds=(0.0, 0.08), TrMat=np.array([[0.9, .1], [.1, .9]]),
+        dt=0.02, pBL=0.05, cell_dims=(0.5, None, None), seed=7)
+    jax.block_until_ready([b.positions for b in batches])
+    from extrack_tpu.ops import pallas_refine
+    import jax.numpy as jnp
+    log_trans = jnp.log(jnp.asarray([[0.9, 0.1], [0.1, 0.9]], jnp.float32))
+    sig2 = jnp.asarray(2 * np.array([0.0, 0.08]) * 0.02, jnp.float32)
+    le2 = jnp.asarray(0.02 ** 2, jnp.float32)[None, None, None]
+    n_tracks = 0
+    for b in batches:
+        mu, sig = pallas_refine.refine_pallas(
+            b.positions, b.lengths, le2, log_trans, sig2, window=7,
+            interpret=jax.default_backend() != "tpu")
+        mu.block_until_ready()
+        n_tracks += b.batch_size
+    return {"n_tracks": n_tracks}
 
 
 @timed("refine_2state_10k")
@@ -156,6 +189,7 @@ def main():
     bench_predict_hist(2000 if args.quick else 20000)
     bench_3state(1000 if args.quick else 5000)
     bench_refine(1000 if args.quick else 10000)
+    bench_refine_large(n=50_000 if args.quick else 939_000)
     bench_million(quick=args.quick)
     bench_model_selection(1000 if args.quick else 5000)
     out = os.path.join(os.path.dirname(__file__), "results.json")

@@ -99,26 +99,59 @@ class TrackBatch:
             _pad(self.loc_err, 1.0), _pad(self.is_bleached),
             _pad(self.frames), _pad(self.dt, dt_fill))
 
+    def pad_len_to(self, t: int) -> "TrackBatch":
+        """Pad the time axis to ``t`` frames; padded frames are masked by
+        ``lengths`` and contribute nothing."""
+        cur = self.max_len
+        if cur == t:
+            return self
+        assert t > cur
+        pad = t - cur
+
+        def _pad(x, value=0, axis=1):
+            if x is None:
+                return None
+            widths = [(0, 0)] * x.ndim
+            widths[axis] = (0, pad)
+            return jnp.pad(x, widths, constant_values=value)
+
+        dt_fill = jnp.median(self.dt) if self.dt is not None else 0
+        return TrackBatch(
+            _pad(self.positions), self.lengths,
+            _pad(self.loc_err, 1.0), self.is_bleached,
+            _pad(self.frames), _pad(self.dt, dt_fill))
+
 
 def from_dict(all_tracks: Dict[str, np.ndarray],
               input_loc_err: Optional[Dict[str, np.ndarray]] = None,
               frames: Optional[Dict[str, np.ndarray]] = None,
               dt: Optional[Dict[str, np.ndarray]] = None,
               max_len: Optional[int] = None,
+              pad_batch: int = 0,
+              data_max: Optional[int] = None,
               dtype=np.float64) -> TrackBatch:
     """Convert the reference's length-keyed dict format to a padded batch.
 
     ``is_bleached`` follows the reference convention: tracks whose length
     equals the dataset maximum are censored (isBL=0), all others bleached /
-    left the FOV (extrack/tracking.py:1037-1040).
+    left the FOV (extrack/tracking.py:1037-1040).  ``data_max`` overrides
+    the censoring length when this dict is one bucket of a larger dataset.
+
+    ``max_len`` / ``pad_batch`` pad the time / track axes in NumPy before
+    the single device transfer — through the remote-TPU tunnel every eager
+    device op (pad, median) costs a multi-second compile roundtrip, so
+    padding must happen host-side.  All arrays are cast to the canonical
+    JAX dtype host-side too (an f64->f32 ``jnp.asarray`` is an eager
+    convert_element_type compile), and shipped in ONE ``jax.device_put``.
     """
     keys = sorted((k for k in all_tracks if len(all_tracks[k]) > 0),
                   key=lambda s: int(s))
     if not keys:
         raise ValueError("No tracks found. The loaded tracks seem empty.")
     lens = [int(k) for k in keys]
-    data_max = max(lens)
-    tmax = max_len or data_max
+    if data_max is None:
+        data_max = max(lens)
+    tmax = max_len or max(lens)
 
     pos_l, len_l, err_l, frm_l, dt_l, bl_l = [], [], [], [], [], []
     for k in keys:
@@ -149,18 +182,72 @@ def from_dict(all_tracks: Dict[str, np.ndarray],
             step_dt[:, :n_steps] = dd[:, :n_steps]
             dt_l.append(step_dt)
 
-    return TrackBatch(
-        positions=jnp.asarray(np.concatenate(pos_l)),
-        lengths=jnp.asarray(np.concatenate(len_l)),
-        loc_err=jnp.asarray(np.concatenate(err_l)) if err_l else None,
-        is_bleached=jnp.asarray(np.concatenate(bl_l)),
-        frames=jnp.asarray(np.concatenate(frm_l)) if frm_l else None,
-        dt=jnp.asarray(np.concatenate(dt_l)) if dt_l else None,
-    )
+    pos = np.concatenate(pos_l)
+    lens_a = np.concatenate(len_l)
+    err = np.concatenate(err_l) if err_l else None
+    bl = np.concatenate(bl_l)
+    frm = np.concatenate(frm_l) if frm_l else None
+    dts = np.concatenate(dt_l) if dt_l else None
+    if pad_batch > pos.shape[0]:
+        extra = pad_batch - pos.shape[0]
+
+        def _padb(x, fill=0.0):
+            if x is None:
+                return None
+            w = [(0, extra)] + [(0, 0)] * (x.ndim - 1)
+            return np.pad(x, w, constant_values=fill)
+
+        pos = _padb(pos)
+        lens_a = _padb(lens_a)
+        err = _padb(err, 1.0)
+        bl = _padb(bl)
+        frm = _padb(frm)
+        dts = _padb(dts, float(np.median(dts)) if dts is not None else 0.0)
+
+    ftype = jax.dtypes.canonicalize_dtype(np.dtype(dtype))
+
+    def _cast(x, dt_=None):
+        return None if x is None else np.asarray(x, dt_ or ftype)
+
+    host = TrackBatch(
+        positions=_cast(pos), lengths=_cast(lens_a, np.int32),
+        loc_err=_cast(err), is_bleached=_cast(bl),
+        frames=_cast(frm), dt=_cast(dts))
+    return jax.device_put(host)
+
+
+def canonical_len(t: int) -> int:
+    """Round a track length up to the canonical program-shape ladder
+    (multiples of 4 up to 32, of 8 beyond): every new TPU program shape
+    costs a 100-300 s remote compile, so fits quantize their time axis to
+    a small ladder and reuse executables from the persistent cache across
+    datasets.  Wasted scan steps are masked and cost <= ~3/T extra work."""
+    step = 4 if t <= 32 else 8
+    return max(4, -(-t // step) * step)
+
+
+def canonical_batch(b: int) -> int:
+    """Round a batch size up to the ladder 128, 192, 256, 384, 512, ...
+    (powers of two and their 1.5x midpoints; <= 33% padding)."""
+    if b <= 128:
+        return 128
+    p = 1 << int(b - 1).bit_length()          # next power of two
+    if b <= 3 * p // 4:
+        return 3 * p // 4
+    return p
+
+
+def canonicalize(batch: TrackBatch) -> TrackBatch:
+    """Pad a batch to canonical (T, B) program shapes (see canonical_len /
+    canonical_batch).  Results are unchanged: padded frames and tracks are
+    masked everywhere."""
+    batch = batch.pad_len_to(canonical_len(batch.max_len))
+    return batch.pad_batch_to(canonical_batch(batch.batch_size))
 
 
 def from_dict_bucketed(all_tracks: Dict[str, np.ndarray],
                        max_buckets: int = 4,
+                       canonical_shapes: bool = False,
                        **kw) -> list:
     """Split a length-keyed dict into a few padded TrackBatches so short
     tracks don't pay the longest track's scan length.
@@ -168,7 +255,9 @@ def from_dict_bucketed(all_tracks: Dict[str, np.ndarray],
     Bucket edges are chosen greedily to minimize total padded work
     (sum over buckets of n_tracks * bucket_max_len).  The ``is_bleached``
     convention stays global: only tracks at the DATASET maximum length are
-    censored (extrack/tracking.py:1037-1040).
+    censored (extrack/tracking.py:1037-1040).  ``canonical_shapes`` pads
+    every bucket to the canonical (T, B) program-shape ladder so fresh
+    processes hit the persistent compilation cache.
     """
     lens = sorted(int(k) for k in all_tracks if len(all_tracks[k]) > 0)
     if not lens:
@@ -201,11 +290,17 @@ def from_dict_bucketed(all_tracks: Dict[str, np.ndarray],
         for name in ("input_loc_err", "frames", "dt"):
             if kw.get(name) is not None:
                 sub_kw[name] = {k: kw[name][k] for k in group}
-        batch = from_dict(group, **sub_kw)
-        # global censoring convention
-        batch.is_bleached = jnp.asarray(
-            np.where(np.asarray(batch.lengths) == data_max, 0.0, 1.0))
-        batches.append(batch)
+        if canonical_shapes:
+            # all padding happens in NumPy inside from_dict: eager device
+            # pads cost a multi-second remote-compile roundtrip EACH
+            width = max(int(l) for l in lens[start:end])
+            n_grp = sum(len(v) for v in group.values())
+            sub_kw["max_len"] = canonical_len(
+                max(width, sub_kw.get("max_len") or 0))
+            sub_kw["pad_batch"] = canonical_batch(n_grp)
+        # global censoring convention rides into from_dict so no eager
+        # device round-trip is needed here
+        batches.append(from_dict(group, data_max=data_max, **sub_kw))
         start = end
     return batches
 

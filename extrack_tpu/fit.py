@@ -516,8 +516,9 @@ def param_fitting(all_tracks,
             steady_state=steady_state)
     batch = tdata.from_dict_bucketed(
         all_tracks, max_buckets=max(1, length_buckets),
-        input_loc_err=input_LocErr,
-        dt=dt if isinstance(dt, dict) else None)
+        canonical_shapes=True,          # quantized program shapes: fresh
+        input_loc_err=input_LocErr,     # processes reuse cached TPU
+        dt=dt if isinstance(dt, dict) else None)  # executables
     return fit(batch, params,
                dt if not isinstance(dt, dict) else 0.0, nb_states,
                cell_dims=cell_dims, nb_substeps=nb_substeps,

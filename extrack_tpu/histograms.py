@@ -53,26 +53,39 @@ _NEG = -1e30
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_nb_states", "min_len"))
+                   static_argnames=("max_nb_states", "min_len",
+                                    "nb_substeps"))
 def segment_histogram(positions, lengths, is_bleached, tb: ModelTables,
-                      *, max_nb_states: int = 512, min_len: int = 3):
+                      *, max_nb_states: int = 512, min_len: int = 3,
+                      nb_substeps: int = 1):
     """Posterior-weighted segment-length histogram.
 
     Returns (T, S): row k-1 is the expected number of segments of length k
     in each state, summed over tracks (per-track posterior normalized, as in
-    histograms.py:280-284).
+    histograms.py:280-284).  With ``nb_substeps`` = n > 1 each frame step
+    branches over all S**n hidden sub-state patterns (the reference
+    P_segment_len supports sub-steps in its recursion,
+    extrack/histograms.py:26,64-145); segment decoding stays at frame
+    resolution (DEVIATIONS.md 3b) — ``tb`` must be built with the same
+    nb_substeps.
     """
     B, T, D = positions.shape
     S = tb.nb_states
+    n = nb_substeps
+    A = S ** n                                 # branch patterns per step
+    P = S ** (n + 1)
+    newest_div = S ** (n - 1)                  # pattern -> newest digit
     M = max_nb_states
-    if M < S * S:
-        raise ValueError(f"max_nb_states ({M}) must be >= nb_states^2")
+    if M < P:
+        raise ValueError(f"max_nb_states ({M}) must be >= "
+                         f"nb_states^(nb_substeps+1) = {P}")
     dtype = positions.dtype
     lengths = lengths.astype(jnp.int32)
     is_bleached = is_bleached.astype(dtype)
     l2 = jnp.broadcast_to(tb.loc_err2.astype(dtype), (B, T, D))
     log_trans = tb.log_trans
-    lsurv = tb.log_survive                    # (S,) for nb_substeps=1
+    lsurv = tb.log_survive                    # (A,) per new pattern
+    lt_tab = ttables.branch_log_trans(log_trans, n).astype(dtype)  # (A, S)
     sig2 = tb.sig2.astype(dtype)
     R = sig2.shape[-2]
 
@@ -80,19 +93,19 @@ def segment_histogram(positions, lengths, is_bleached, tb: ModelTables,
         row = sig2[..., jnp.minimum(t, R - 1), :] if R > 1 else sig2[..., 0, :]
         return row                             # (P,) or (B, P)
 
-    # ---- initial register: all S^2 two-frame sequences ------------------
-    pairs = state_codes(S, 2)                  # (S^2, 2) newest first
-    lp0 = ttables.init_log_prob(log_trans, tb.log_frac, 1)    # (S^2,)
+    # ---- initial register: all S^(n+1) two-frame patterns ---------------
+    pairs = state_codes(S, n + 1)              # (P, n+1) newest first
+    lp0 = ttables.init_log_prob(log_trans, tb.log_frac, n)    # (P,)
     lp = jnp.full((B, M), _NEG, dtype)
-    lp = lp.at[:, :S * S].set(lp0.astype(dtype))
+    lp = lp.at[:, :P].set(lp0.astype(dtype))
     ll = jnp.zeros((B, M), dtype)
     seqs = jnp.zeros((B, M, T), jnp.int8)
-    seqs = seqs.at[:, :S * S, 0].set(pairs[:, 1].astype(jnp.int8))
-    seqs = seqs.at[:, :S * S, 1].set(pairs[:, 0].astype(jnp.int8))
+    seqs = seqs.at[:, :P, 0].set(pairs[:, -1].astype(jnp.int8))
+    seqs = seqs.at[:, :P, 1].set(pairs[:, 0].astype(jnp.int8))
     newest = jnp.broadcast_to(
-        jnp.pad(pairs[:, 0], (0, M - S * S)).astype(jnp.int8), (B, M))
+        jnp.pad(pairs[:, 0], (0, M - P)).astype(jnp.int8), (B, M))
     sig2_pat = jnp.take(sig2_at(0), jnp.asarray(
-        np.pad(np.arange(S * S), (0, M - S * S))), axis=-1)
+        np.pad(np.arange(P), (0, M - P))), axis=-1)
     m = jnp.broadcast_to(positions[:, 0, None, :], (B, M, D))
     s2 = jnp.broadcast_to(l2[:, 0, None, :]
                           + jnp.reshape(sig2_pat, (-1, M))[..., None],
@@ -114,26 +127,26 @@ def segment_histogram(positions, lengths, is_bleached, tb: ModelTables,
         w = jax.nn.softmax(fin, axis=-1)
         w_final = w_final + jnp.where(is_final[:, None], w, 0.0)
 
-        # branch: children (B, S, M) — new state axis first
+        # branch: children (B, A, M) — new sub-state pattern axis first
         tot = l2_t[:, None, :] + s2
         new_m = (m * l2_t[:, None, :] + x_t[:, None, :] * s2) / tot
         tail = l2_t[:, None, :] * s2 / tot
         lc = jnp.sum(-0.5 * jnp.log(2 * jnp.pi * tot)
                      - (x_t[:, None, :] - m) ** 2 / (2 * tot), -1)
         gate = (t + 1 >= min_len).astype(dtype)
-        lt = log_trans.astype(dtype)[newest].swapaxes(1, 2)    # (B,S,M)
-        pat = (jax.lax.broadcasted_iota(jnp.int32, (S, M), 0) * S
-               + newest[:, None, :].astype(jnp.int32))          # (B,S,M)
+        lt = lt_tab.T[newest].swapaxes(1, 2)                   # (B,A,M)
+        pat = (jax.lax.broadcasted_iota(jnp.int32, (A, M), 0) * S
+               + newest[:, None, :].astype(jnp.int32))          # (B,A,M)
         if s2row.ndim == 1:                                      # (P,)
-            sig2_new = s2row[pat]                                # (B,S,M)
+            sig2_new = s2row[pat]                                # (B,A,M)
         else:                                                    # (B,P)
             sig2_new = jnp.take_along_axis(
-                s2row[:, None, :], pat.reshape(B, 1, S * M),
-                axis=-1).reshape(B, S, M)
+                s2row[:, None, :], pat.reshape(B, 1, A * M),
+                axis=-1).reshape(B, A, M)
         lp_child = (lp[:, None, :] + lt + lc[:, None, :])
         ll_child = ll[:, None, :] + gate * lsurv.astype(dtype)[
-            jax.lax.broadcasted_iota(jnp.int32, (S, M), 0)][None]
-        s2_child = sig2_new[..., None] + tail[:, None]          # (B,S,M,D)
+            jax.lax.broadcasted_iota(jnp.int32, (A, M), 0)][None]
+        s2_child = sig2_new[..., None] + tail[:, None]          # (B,A,M,D)
 
         # lookahead pruning score (histograms.py:183-199): LP + next-obs
         # integral; padded slots stay at -inf
@@ -142,15 +155,15 @@ def segment_histogram(positions, lengths, is_bleached, tb: ModelTables,
             -0.5 * jnp.log(2 * jnp.pi * tot_n)
             - (x_next[:, None, None, :] - new_m[:, None]) ** 2 / (2 * tot_n),
             -1)
-        scores = look.reshape(B, S * M)
+        scores = look.reshape(B, A * M)
         _, idx = jax.lax.top_k(scores, M)                       # (B, M)
 
-        def pick(child):   # child (B, S, M, ...) -> (B, M, ...)
-            flat = child.reshape((B, S * M) + child.shape[3:])
+        def pick(child):   # child (B, A, M, ...) -> (B, M, ...)
+            flat = child.reshape((B, A * M) + child.shape[3:])
             return jnp.take_along_axis(
                 flat, idx.reshape((B, M) + (1,) * (child.ndim - 3)), axis=1)
 
-        new_state = (idx // M).astype(jnp.int8)
+        new_state = ((idx // M) // newest_div).astype(jnp.int8)
         parent = idx % M
         seqs_new = jnp.take_along_axis(seqs, parent[..., None], axis=1)
         seqs_new = jax.lax.dynamic_update_slice(
@@ -158,7 +171,7 @@ def segment_histogram(positions, lengths, is_bleached, tb: ModelTables,
             + (t + 1,))
         keep = is_interior[:, None]
         m = jnp.where(keep[..., None],
-                      pick(jnp.broadcast_to(new_m[:, None], (B, S, M, D))), m)
+                      pick(jnp.broadcast_to(new_m[:, None], (B, A, M, D))), m)
         s2 = jnp.where(keep[..., None], pick(s2_child), s2)
         lp = jnp.where(keep, pick(lp_child), lp)
         ll = jnp.where(keep, pick(ll_child), ll)
@@ -506,7 +519,8 @@ def _hist_from_values(values, positions, lengths, is_bleached, loc_err_in,
                                         tb, window=window, min_len=min_len,
                                         nb_substeps=nb_substeps)
     return segment_histogram(positions, lengths, is_bleached, tb,
-                             max_nb_states=max_nb_states, min_len=min_len)
+                             max_nb_states=max_nb_states, min_len=min_len,
+                             nb_substeps=nb_substeps)
 
 
 def len_hist(all_tracks: Dict[str, np.ndarray],
@@ -544,14 +558,38 @@ def len_hist(all_tracks: Dict[str, np.ndarray],
     histograms from its pool the same way, extrack/histograms.py:360-367).
     """
     del workers
-    if nb_substeps != 1 and engine not in ("window", "xla"):
+    batch = tdata.from_dict(all_tracks, input_loc_err=input_LocErr,
+                            dt=dt if isinstance(dt, dict) else None)
+    return hist_batch(batch, params, dt if not isinstance(dt, dict) else 0.0,
+                      cell_dims=cell_dims, nb_states=nb_states,
+                      max_nb_states=max_nb_states, nb_substeps=nb_substeps,
+                      input_loc_err=input_LocErr is not None,
+                      matrix_type=matrix_type, engine=engine, window=window,
+                      chunk=chunk, sharded=sharded)
+
+
+def hist_batch(batch: tdata.TrackBatch,
+               params,
+               dt,
+               cell_dims=(0.5, None, None),
+               nb_states: int = 2,
+               max_nb_states: int = 500,
+               nb_substeps: int = 1,
+               input_loc_err: bool = False,
+               matrix_type: int = 1,
+               engine: str = "window",
+               window: int = 7,
+               chunk: Optional[int] = None,
+               sharded: bool = False) -> np.ndarray:
+    """TrackBatch-native duration histogram: the device-resident core of
+    ``len_hist``, for pipelines that keep data as padded batches and touch
+    the reference's length-keyed dicts only at the edges."""
+    if nb_substeps != 1 and engine == "pallas":
         raise NotImplementedError(
-            "nb_substeps > 1 requires engine='window'")
+            "nb_substeps > 1 requires engine='window' or 'topk'")
     force_xla = engine == "xla"
     if force_xla:
         engine = "window"
-    batch = tdata.from_dict(all_tracks, input_loc_err=input_LocErr,
-                            dt=dt if isinstance(dt, dict) else None)
     window_sub = nb_substeps * (window - 1) + 1
     if (engine == "window" and not force_xla
             and jax.default_backend() == "tpu" and nb_substeps == 1):
@@ -589,7 +627,7 @@ def len_hist(all_tracks: Dict[str, np.ndarray],
         dt_arr = batch.dt if batch.dt is not None else jnp.asarray(dt)
         return np.asarray(_hist_sharded_from_values(
             values, batch.positions, batch.lengths, batch.is_bleached,
-            batch.loc_err if input_LocErr is not None else None, dt_arr,
+            batch.loc_err if input_loc_err else None, dt_arr,
             nb_states=nb_states, cell_dims=cell, window=window_sub,
             min_len=min_len, matrix_type=matrix_type, mesh=mesh,
             compute_engine="pallas" if engine == "pallas" else "xla"))
@@ -605,7 +643,7 @@ def len_hist(all_tracks: Dict[str, np.ndarray],
         h = _hist_from_values(
             values, batch.positions[sl], batch.lengths[sl],
             batch.is_bleached[sl],
-            batch.loc_err[sl] if input_LocErr is not None else None,
+            batch.loc_err[sl] if input_loc_err else None,
             dt_arr[sl] if dt_arr.ndim > 1 else dt_arr, **kw)
         hist = h if hist is None else hist + h
     return np.asarray(hist)

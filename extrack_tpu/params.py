@@ -73,6 +73,9 @@ class Parameters:
 
     def __init__(self):
         self._params: Dict[str, Param] = {}
+        # >= 4 states: fractions tied to the stationary distribution of the
+        # rate generator by a differentiable linear solve (resolve())
+        self.steady_state_n: Optional[int] = None
 
     def add(self, name, value=None, min=-math.inf, max=math.inf, vary=True,
             expr=None, brute_step=None):  # brute_step accepted, ignored
@@ -98,6 +101,7 @@ class Parameters:
         new = Parameters()
         for p in self._params.values():
             new.add(p.name, p.value, p.min, p.max, p.vary, p.expr)
+        new.steady_state_n = self.steady_state_n
         return new
 
     def valuesdict(self) -> Dict[str, float]:
@@ -119,6 +123,26 @@ class Parameters:
                      else p.value)
                 env[name] = v
                 del pending[name]
+        if self.steady_state_n:
+            # general stationary distribution of the rate generator via a
+            # differentiable linear solve: pi^T Q = 0, sum(pi) = 1 — the
+            # n>=4 generalization of the reference's hand-written 2/3-state
+            # expressions (extrack/tracking.py:1109,1139-1141)
+            n = self.steady_state_n
+            rows = []
+            for i in range(n):
+                row = [env[f"p{i}{j}"] * jnp.ones(()) if i != j else 0.0
+                       for j in range(n)]
+                rows.append(jnp.stack([jnp.asarray(v, jnp.result_type(float))
+                                       for v in row]))
+            Q = jnp.stack(rows)
+            Q = Q - jnp.diag(jnp.sum(Q, axis=1))
+            A = Q.T.at[n - 1].set(jnp.ones(n, Q.dtype))
+            b = jnp.zeros(n, Q.dtype).at[n - 1].set(1.0)
+            pi = jnp.linalg.solve(A, b)
+            for s in range(n):
+                env[f"F{s}"] = pi[s]
+                pending.pop(f"F{s}", None)
         guard = len(pending) + 1
         while pending and guard:
             guard -= 1
@@ -292,9 +316,11 @@ def apply_steady_state(params: Parameters, nb_states: int):
         params.add("F1", expr="(F0*p01 + (1-F0)*p21)/(p10 + p12 + p21)")
         params.add("F2", expr="1-F0-F1")
     else:
-        raise NotImplementedError(
-            "steady_state exprs exist for 2 and 3 states; for more states "
-            "fit free fractions or tie them numerically")
+        # general case: fractions = stationary distribution of the rate
+        # generator, computed by a differentiable solve in resolve()
+        for s in range(nb_states):
+            params.add(f"F{s}", 1.0 / nb_states, expr="__steady_state__")
+        params.steady_state_n = nb_states
 
 
 def get_params(nb_states: int = 2, steady_state: bool = False,

@@ -588,11 +588,27 @@ def position_refinement(all_tracks: Dict[str, np.ndarray],
     (parallel.mesh.sharded_refine).
     """
     del Fs, threshold, max_nb_states  # fractions don't enter refinement
-    from extrack_tpu import config as _config
-    _config.ensure_cache_tuning()
     batch = tdata.from_dict(
         all_tracks,
         input_loc_err=LocErr if isinstance(LocErr, dict) else None)
+    mu, sigma, B0 = refine_batch(
+        batch, LocErr, ds, TrMat, frame_len=frame_len,
+        compute_engine=compute_engine, sharded=sharded)
+    trimmed = tdata.TrackBatch(np.asarray(batch.positions)[:B0],
+                               np.asarray(batch.lengths)[:B0])
+    return (tdata.to_dict(trimmed, mu), tdata.to_dict(trimmed, sigma[..., 0]))
+
+
+def refine_batch(batch: tdata.TrackBatch, LocErr, ds, TrMat,
+                 frame_len: int = 7, compute_engine: str = "auto",
+                 sharded: bool = False):
+    """TrackBatch-native refinement core: (mu (B,T,D), sigma (B,T,D),
+    n_tracks).  ``LocErr`` may be a scalar/array, or anything dict-like to
+    signal that ``batch.loc_err`` holds per-peak errors.  For pipelines
+    that avoid the length-keyed dict round-trips entirely."""
+    from extrack_tpu import config as _config
+    _config.ensure_cache_tuning()
+    B0 = batch.batch_size
     S = np.asarray(TrMat).shape[0]
     use_pallas = (compute_engine == "pallas"
                   or (compute_engine == "auto"
@@ -613,7 +629,9 @@ def position_refinement(all_tracks: Dict[str, np.ndarray],
     if batch.batch_size > chunk:
         batch = batch.pad_batch_to(
             int(np.ceil(batch.batch_size / chunk)) * chunk)
-    if isinstance(LocErr, dict):
+    per_peak = isinstance(LocErr, dict) or (
+        LocErr is None and batch.loc_err is not None)
+    if per_peak:
         loc_err2 = batch.loc_err ** 2
     else:
         # host-side prep: eager device ops cost seconds through the tunnel
@@ -625,11 +643,9 @@ def position_refinement(all_tracks: Dict[str, np.ndarray],
                               dtype=batch.positions.dtype)
     log_trans = jnp.asarray(np.log(np.asarray(TrMat, dtype=np.float64)),
                             dtype=batch.positions.dtype)
-    per_peak = isinstance(LocErr, dict)
     if sharded:
         from extrack_tpu.parallel import mesh as pmesh
         mesh = pmesh.make_mesh()
-        B0 = batch.batch_size
         batch = pmesh.shard_batch(batch, mesh)
         if per_peak:
             n = batch.batch_size
@@ -643,13 +659,7 @@ def position_refinement(all_tracks: Dict[str, np.ndarray],
             batch.positions, batch.lengths, loc_err2, log_trans,
             sig2_states, window=frame_len, mesh=mesh,
             compute_engine=("pallas" if use_pallas else "xla"))
-        mu = np.asarray(mu_s)[:B0]
-        sigma = np.asarray(sig_s)[:B0]
-        lengths_b = np.asarray(batch.lengths)[:B0]
-        trimmed = tdata.TrackBatch(np.asarray(batch.positions)[:B0],
-                                   lengths_b)
-        return (tdata.to_dict(trimmed, mu),
-                tdata.to_dict(trimmed, sigma[..., 0]))
+        return np.asarray(mu_s)[:B0], np.asarray(sig_s)[:B0], B0
     mu_parts, sig_parts = [], []
     for c in range(int(np.ceil(batch.batch_size / chunk))):
         sl = slice(c * chunk, (c + 1) * chunk)
@@ -667,8 +677,6 @@ def position_refinement(all_tracks: Dict[str, np.ndarray],
                 log_trans, sig2_states, window=frame_len)
         mu_parts.append(np.asarray(mu_c))
         sig_parts.append(np.asarray(sig_c))
-    mu = np.concatenate(mu_parts)
-    sigma = np.concatenate(sig_parts)
-    mus = tdata.to_dict(batch, mu)
-    sigmas = tdata.to_dict(batch, sigma[..., 0])
-    return mus, sigmas
+    mu = np.concatenate(mu_parts)[:B0]
+    sigma = np.concatenate(sig_parts)[:B0]
+    return mu, sigma, B0

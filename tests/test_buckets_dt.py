@@ -92,3 +92,33 @@ def test_locerr_type4_affine_fit():
         [s.ravel() for s in sigs.values()])))
     pred = v["slope_LocErr"] * mean_sig + v["offset_LocErr"]
     assert pred == pytest.approx(mean_sig, rel=0.15)
+
+
+def test_canonical_shapes_preserve_results():
+    """canonicalize() pads (T, B) to the ladder without changing logL."""
+    import jax.numpy as jnp
+    from extrack_tpu import data as tdata
+    from extrack_tpu.core import engine, tables as ttables
+    rng = np.random.default_rng(5)
+    tracks = {"5": np.cumsum(rng.normal(0, 0.05, (7, 5, 2)), axis=1),
+              "9": np.cumsum(rng.normal(0, 0.05, (6, 9, 2)), axis=1)}
+    tb = ttables.build_tables(
+        jnp.asarray([0.0, 0.1]), jnp.asarray(0.02), jnp.asarray([0.4, 0.6]),
+        jnp.asarray([[0.0, 0.1], [0.15, 0.0]]), jnp.asarray(0.1),
+        jnp.asarray(0.02), cell_dims=(0.8,))
+    plain = tdata.from_dict_bucketed(tracks, max_buckets=2)
+    canon = tdata.from_dict_bucketed(tracks, max_buckets=2,
+                                     canonical_shapes=True)
+    assert all(b.max_len % 4 == 0 for b in canon)
+    assert all(b.batch_size >= 128 for b in canon)
+    for b, c in zip(plain, canon):
+        l_b = engine.forward(b.positions, b.lengths, b.is_bleached, tb,
+                             window=5, min_len=3)
+        l_c = engine.forward(c.positions, c.lengths, c.is_bleached, tb,
+                             window=5, min_len=3)
+        np.testing.assert_allclose(float(jnp.sum(l_c)), float(jnp.sum(l_b)),
+                                   rtol=1e-12)
+    assert tdata.canonical_batch(129) == 192
+    assert tdata.canonical_batch(400) == 512
+    assert tdata.canonical_len(41) == 48
+    assert tdata.canonical_len(10) == 12

@@ -52,3 +52,27 @@ def test_len_hist_additive_over_subsets():
     assert h_big.shape[1] == 2
     total = h_a[:h_big.shape[0]].sum() + h_b[:h_big.shape[0]].sum()
     assert abs(total - h_big.sum()) / h_big.sum() < 0.05
+
+
+def test_batch_native_postfit_apis():
+    """hist_batch / refine_batch (TrackBatch in, arrays out) match the
+    dict drivers."""
+    import numpy as np
+    from extrack_tpu import data as tdata, histograms, refine
+    from extrack_tpu import params as tparams
+    rng = np.random.default_rng(2)
+    tracks = {"5": np.cumsum(rng.normal(0, 0.05, (6, 5, 2)), axis=1),
+              "7": np.cumsum(rng.normal(0, 0.05, (5, 7, 2)), axis=1)}
+    p = tparams.generate_params(nb_states=2, D_max=1.0)
+    batch = tdata.from_dict(tracks)
+    h_dict = histograms.len_hist(tracks, p, 0.02, nb_states=2, window=5)
+    h_batch = histograms.hist_batch(batch, p, 0.02, nb_states=2, window=5)
+    np.testing.assert_allclose(h_batch, h_dict, rtol=1e-12)
+    ds = np.array([0.02, 0.1])
+    tr = np.array([[0.9, 0.1], [0.2, 0.8]])
+    mus_d, sigs_d = refine.position_refinement(
+        tracks, 0.02, ds, None, tr, frame_len=5)
+    mu_b, sig_b, B0 = refine.refine_batch(batch, 0.02, ds, tr, frame_len=5)
+    assert B0 == batch.batch_size
+    np.testing.assert_allclose(mu_b[:6, :5], mus_d["5"], rtol=1e-12)
+    np.testing.assert_allclose(sig_b[6:, :7, 0], sigs_d["7"], rtol=1e-12)

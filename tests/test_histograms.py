@@ -80,3 +80,29 @@ def test_len_hist_and_ground_truth():
     assert np.abs(h - g).max() < 0.1
     # duration distributions should decay (more short segments than long)
     assert hist[0].sum() > hist[5].sum()
+
+
+def test_topk_engine_substeps2_matches_window_exact():
+    """topk engine with nb_substeps=2 == exact window engine on short
+    tracks with an exhaustive register."""
+    import jax.numpy as jnp
+    from extrack_tpu.core import tables as ttables
+    rng = np.random.default_rng(12)
+    B, T, D, S, n = 10, 6, 2, 2, 2
+    xs = jnp.asarray(np.cumsum(rng.normal(0, 0.05, (B, T, D)), axis=1))
+    lengths = jnp.asarray(rng.integers(3, T + 1, B), jnp.int32)
+    isbl = (lengths < T).astype(xs.dtype)
+    tb = ttables.build_tables(
+        jnp.asarray([0.0, 0.1]), jnp.asarray(0.02), jnp.asarray([0.4, 0.6]),
+        jnp.asarray([[0.0, 0.1], [0.15, 0.0]]), jnp.asarray(0.1),
+        jnp.asarray(0.02), cell_dims=(0.8,), nb_substeps=n)
+    # exhaustive: S^(1 + n*(T-1)) = 2^11 sequences
+    h_topk = histograms.segment_histogram(
+        xs, lengths, isbl, tb, max_nb_states=2048, min_len=3,
+        nb_substeps=n)
+    # window engine exact when the register covers the whole track
+    h_win = histograms.window_segment_histogram(
+        xs, lengths, isbl, tb, window=n * (T - 1) + 1, min_len=3,
+        nb_substeps=n)
+    np.testing.assert_allclose(np.asarray(h_topk), np.asarray(h_win),
+                               rtol=1e-8, atol=1e-10)

@@ -122,3 +122,58 @@ def test_auto_fit_heuristics():
          "pBL": 0.1}, dt=0.02, nb_states=2)
     assert h2["frame_len"] == 7         # low DLR -> long window
     assert h2["nb_substeps"] == 2       # fast transitions -> substeps
+
+
+def test_steady_state_four_states():
+    """>=4-state fractions = stationary distribution (differentiable)."""
+    import jax
+    import jax.numpy as jnp
+    from extrack_tpu import params as tparams
+
+    n = 4
+    rng = np.random.default_rng(0)
+    rates = rng.uniform(0.02, 0.3, (n, n))
+    p = tparams.Parameters()
+    for i in range(n):
+        for j in range(n):
+            if i != j:
+                p.add(f"p{i}{j}", rates[i, j], 1e-4, 1.0)
+    tparams.apply_steady_state(p, n)
+    vals = p.resolve()
+    pi = np.array([float(vals[f"F{s}"]) for s in range(n)])
+    # stationary of the generator: pi^T Q = 0
+    Q = rates.copy()
+    np.fill_diagonal(Q, 0.0)
+    np.fill_diagonal(Q, -Q.sum(1))
+    np.testing.assert_allclose(pi @ Q, 0.0, atol=1e-12)
+    np.testing.assert_allclose(pi.sum(), 1.0, rtol=1e-12)
+    # matches the hand-written 3-state exprs on a 3-state system
+    p3a = tparams.Parameters()
+    p3b = tparams.Parameters()
+    for i in range(3):
+        for j in range(3):
+            if i != j:
+                p3a.add(f"p{i}{j}", rates[i, j], 1e-4, 1.0)
+                p3b.add(f"p{i}{j}", rates[i, j], 1e-4, 1.0)
+    tparams.apply_steady_state(p3a, 3)          # hand exprs
+    p3b.steady_state_n = 3                       # general solve
+    for s in range(3):
+        p3b.add(f"F{s}", 0.3, expr="__steady_state__")
+    va, vb = p3a.resolve(), p3b.resolve()
+    for s in range(3):
+        np.testing.assert_allclose(float(vb[f"F{s}"]), float(va[f"F{s}"]),
+                                   rtol=1e-12)
+    # differentiable: grad of F0 w.r.t. a free rate is finite and nonzero
+    def f0(r01):
+        return p.resolve({"p01": r01})["F0"]
+    g = jax.grad(f0)(jnp.asarray(rates[0, 1]))
+    assert np.isfinite(float(g)) and abs(float(g)) > 0
+
+
+def test_generate_params_four_state_steady():
+    from extrack_tpu import params as tparams
+    p = tparams.generate_params(nb_states=4, D_max=1.0, steady_state=True)
+    vals = p.resolve()
+    pi = np.array([float(vals[f"F{s}"]) for s in range(4)])
+    np.testing.assert_allclose(pi.sum(), 1.0, rtol=1e-12)
+    assert all(not p[f"F{s}"].vary for s in range(4))

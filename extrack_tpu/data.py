@@ -213,7 +213,12 @@ def from_dict(all_tracks: Dict[str, np.ndarray],
         positions=_cast(pos), lengths=_cast(lens_a, np.int32),
         loc_err=_cast(err), is_bleached=_cast(bl),
         frames=_cast(frm), dt=_cast(dts))
-    return jax.device_put(host)
+    dev = jax.device_put(host)
+    # host copy of the lengths: drivers need them for min_len / chunking /
+    # regrouping, and the FIRST device->host pull through the remote-TPU
+    # tunnel has been measured at 60-300+ s
+    dev.np_lengths = host.lengths
+    return dev
 
 
 def canonical_len(t: int) -> int:
@@ -305,11 +310,21 @@ def from_dict_bucketed(all_tracks: Dict[str, np.ndarray],
     return batches
 
 
+def host_lengths(batch: TrackBatch) -> np.ndarray:
+    """Lengths as a host array, without a device pull when from_dict cached
+    them (the first device->host transfer through the remote-TPU tunnel
+    costs 60-300+ s)."""
+    cached = getattr(batch, "np_lengths", None)
+    if cached is not None:
+        return cached
+    return np.asarray(batch.lengths)
+
+
 def to_dict(batch: TrackBatch, values: Optional[np.ndarray] = None
             ) -> Dict[str, np.ndarray]:
     """Regroup a padded batch (or per-track ``values`` aligned with it) into
     the reference's length-keyed dict format."""
-    lengths = np.asarray(batch.lengths)
+    lengths = host_lengths(batch)
     src = np.asarray(batch.positions if values is None else values)
     out: Dict[str, np.ndarray] = {}
     for t in np.unique(lengths):

@@ -79,7 +79,7 @@ def make_objective(batch,
     """
     batches = batch if isinstance(batch, (list, tuple)) else [batch]
     if min_len is None:
-        lens = np.concatenate([np.asarray(b.lengths) for b in batches])
+        lens = np.concatenate([tdata.host_lengths(b) for b in batches])
         min_len = int(lens[lens >= 2].min()) if (lens >= 2).any() else 2
     mesh = None
     if sharded:
@@ -402,7 +402,7 @@ def hessian_chunked(batches, spec: tparams.Parameters, z_opt, dt,
     """
     z = jnp.asarray(z_opt)
     if min_len is None:
-        lens = np.concatenate([np.asarray(b.lengths) for b in batches])
+        lens = np.concatenate([tdata.host_lengths(b) for b in batches])
         min_len = int(lens[lens >= 2].min()) if (lens >= 2).any() else 2
 
     @functools.partial(jax.jit, static_argnames=("use_loc_err",))

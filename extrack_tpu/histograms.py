@@ -618,7 +618,7 @@ def hist_batch(batch: tdata.TrackBatch,
     values = (params.resolve()
               if isinstance(params, tparams.Parameters) else params)
     cell = tuple(c for c in cell_dims if c is not None)
-    lens = np.asarray(batch.lengths)
+    lens = tdata.host_lengths(batch)
     min_len = int(lens[lens >= 2].min()) if (lens >= 2).any() else 2
     if sharded and engine in ("window", "pallas"):
         from extrack_tpu.parallel import mesh as pmesh

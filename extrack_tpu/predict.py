@@ -77,7 +77,7 @@ def predict_batch(batch: tdata.TrackBatch,
               if isinstance(spec_or_values, tparams.Parameters)
               else spec_or_values)
     if min_len is None:
-        lens = np.asarray(batch.lengths)
+        lens = tdata.host_lengths(batch)
         min_len = int(lens[lens >= 2].min()) if (lens >= 2).any() else 2
     if sharded:
         from extrack_tpu.parallel import mesh as pmesh

@@ -594,8 +594,10 @@ def position_refinement(all_tracks: Dict[str, np.ndarray],
     mu, sigma, B0 = refine_batch(
         batch, LocErr, ds, TrMat, frame_len=frame_len,
         compute_engine=compute_engine, sharded=sharded)
-    trimmed = tdata.TrackBatch(np.asarray(batch.positions)[:B0],
-                               np.asarray(batch.lengths)[:B0])
+    # to_dict only regroups by lengths when values are passed — don't pull
+    # the positions back through the tunnel
+    lens = tdata.host_lengths(batch)[:B0]
+    trimmed = tdata.TrackBatch(np.zeros((B0, 0, 0)), lens)
     return (tdata.to_dict(trimmed, mu), tdata.to_dict(trimmed, sigma[..., 0]))
 
 

@@ -72,7 +72,7 @@ def cum_Proba_Cs(params, all_tracks, dt, cell_dims, input_LocErr, nb_states,
     tb = build_tables(Ds, loc_err, Fs, rates, pBL, dt_arr,
                       cell_dims=cell_dims, nb_substeps=nb_substeps,
                       matrix_type=Matrix_type)
-    lens = np.asarray(batch.lengths)
+    lens = tdata.host_lengths(batch)
     min_len = int(lens[lens >= 2].min()) if (lens >= 2).any() else 2
     out = -float(batch_log_likelihood(batch, tb, window=frame_len,
                                       nb_substeps=nb_substeps,

@@ -9,8 +9,8 @@ mesh — DCN never carries track data, only the scalar psum of the fit loop
 (ICI within a slice).
 
 Degenerate single-process behavior equals parallel.mesh.shard_batch, so the
-same code path runs everywhere; tested in that configuration (multi-process
-runs require a real pod).
+same code path runs everywhere; tested both single-process and with two
+jax.distributed CPU processes (tests/test_multihost_procs.py).
 """
 from __future__ import annotations
 

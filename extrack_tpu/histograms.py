@@ -580,6 +580,7 @@ def hist_batch(batch: tdata.TrackBatch,
                engine: str = "window",
                window: int = 7,
                chunk: Optional[int] = None,
+               min_len: Optional[int] = None,
                sharded: bool = False) -> np.ndarray:
     """TrackBatch-native duration histogram: the device-resident core of
     ``len_hist``, for pipelines that keep data as padded batches and touch
@@ -618,8 +619,9 @@ def hist_batch(batch: tdata.TrackBatch,
     values = (params.resolve()
               if isinstance(params, tparams.Parameters) else params)
     cell = tuple(c for c in cell_dims if c is not None)
-    lens = tdata.host_lengths(batch)
-    min_len = int(lens[lens >= 2].min()) if (lens >= 2).any() else 2
+    if min_len is None:
+        lens = tdata.host_lengths(batch)
+        min_len = int(lens[lens >= 2].min()) if (lens >= 2).any() else 2
     if sharded and engine in ("window", "pallas"):
         from extrack_tpu.parallel import mesh as pmesh
         mesh = pmesh.make_mesh()

@@ -179,7 +179,7 @@ def run_lbfgs_device(neg_logl: Callable, z0, *, data=None,
             count = otu.tree_get(state, "count")
             grad = otu.tree_get(state, "grad")
             value = otu.tree_get(state, "value")
-            small_grad = otu.tree_l2_norm(grad) <= gtol
+            small_grad = otu.tree_norm(grad) <= gtol
             rel = jnp.abs(f_prev - value) / jnp.maximum(
                 jnp.maximum(jnp.abs(value), jnp.abs(f_prev)), 1.0)
             return (count == 0) | ((count < max_iter) & ~small_grad

@@ -497,7 +497,8 @@ def save_gifs(all_tracks: Dict[str, np.ndarray],
                 buf = np.asarray(fig.canvas.buffer_rgba())[:, :, :3]
                 frames.append(buf)
                 plt.close(fig)
-            imageio.mimsave(f"{gif_pathnames}{key}_{i}.gif", frames, fps=fps)
+            imageio.mimsave(f"{gif_pathnames}{key}_{i}.gif", frames,
+                            duration=1000.0 / max(fps, 1))
 
 
 def full_extrack_2_matrix(all_tracks, params, dt, all_frames=None,

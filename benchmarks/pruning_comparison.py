@@ -46,18 +46,6 @@ def simulate(seed=0):
     return pos + rng.normal(0, TRUE["loc_err"], (B, T, D))
 
 
-def logl(Cs, method, frame_len, **kw):
-    p = dict(TRUE)
-    p.update(kw)
-    if method == "window":
-        return baselines.reference_log_likelihood(Cs, frame_len=frame_len,
-                                                  **p)
-    return baselines.reference_log_likelihood_th(
-        Cs, frame_len=frame_len, threshold=kw.pop("threshold", 0.2)
-        if False else p.pop("threshold", 0.2),
-        max_nb_states=p.pop("max_nb_states", 120), **p)
-
-
 def main():
     Cs = simulate()
     t0 = time.time()

@@ -215,7 +215,9 @@ def reference_log_likelihood_th(Cs, loc_err, ds, Fs, TrMat, pBL=0.1, isBL=1,
         new_dig = np.concatenate(
             [np.tile(_codes_lsb(S, n), (len(dig), 1)),
              np.repeat(dig, A, axis=0)], axis=1)
-        new_states = _codes_lsb(S, n)[:, ::-1]        # newest first
+        # _codes_lsb is already newest-first (column 0 = newest sub-state,
+        # matching chain()'s transition order and the new_dig layout)
+        new_states = _codes_lsb(S, n)
         onehot = (new_states[:, :, None]
                   == np.arange(S)[None, None]).astype(np.float64)
         hist = np.concatenate(

@@ -94,10 +94,14 @@ class TrackBatch:
         # median-based survival tables (tables.build_tables dt_repr) are
         # identical before and after padding.
         dt_fill = jnp.median(self.dt) if self.dt is not None else 0
-        return TrackBatch(
+        out = TrackBatch(
             _pad(self.positions), _pad(self.lengths),
             _pad(self.loc_err, 1.0), _pad(self.is_bleached),
             _pad(self.frames), _pad(self.dt, dt_fill))
+        cached = getattr(self, "np_lengths", None)
+        if cached is not None:   # keep drivers off the device->host path
+            out.np_lengths = np.pad(np.asarray(cached), (0, pad))
+        return out
 
     def pad_len_to(self, t: int) -> "TrackBatch":
         """Pad the time axis to ``t`` frames; padded frames are masked by
@@ -116,10 +120,14 @@ class TrackBatch:
             return jnp.pad(x, widths, constant_values=value)
 
         dt_fill = jnp.median(self.dt) if self.dt is not None else 0
-        return TrackBatch(
+        out = TrackBatch(
             _pad(self.positions), self.lengths,
             _pad(self.loc_err, 1.0), self.is_bleached,
             _pad(self.frames), _pad(self.dt, dt_fill))
+        cached = getattr(self, "np_lengths", None)
+        if cached is not None:
+            out.np_lengths = cached
+        return out
 
 
 def from_dict(all_tracks: Dict[str, np.ndarray],

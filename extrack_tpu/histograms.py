@@ -613,26 +613,46 @@ def hist_batch(batch: tdata.TrackBatch,
         per_track = K * nb_states * batch.max_len * 4 * 4
         chunk = (1 << 20 if engine == "pallas"
                  else int(min(65536, max(4096, (1 << 31) // per_track))))
-    if batch.batch_size > chunk:
-        batch = batch.pad_batch_to(
-            int(np.ceil(batch.batch_size / chunk)) * chunk)
     values = (params.resolve()
               if isinstance(params, tparams.Parameters) else params)
     cell = tuple(c for c in cell_dims if c is not None)
     if min_len is None:
+        # before any padding: padded batches may lack the host length cache
         lens = tdata.host_lengths(batch)
         min_len = int(lens[lens >= 2].min()) if (lens >= 2).any() else 2
+    if sharded and engine not in ("window", "pallas"):
+        import warnings
+        warnings.warn(
+            f"len_hist: sharded=True is not supported for engine="
+            f"{engine!r}; running on a single device.", RuntimeWarning,
+            stacklevel=2)
+    if batch.batch_size > chunk:
+        batch = batch.pad_batch_to(
+            int(np.ceil(batch.batch_size / chunk)) * chunk)
     if sharded and engine in ("window", "pallas"):
         from extrack_tpu.parallel import mesh as pmesh
         mesh = pmesh.make_mesh()
-        batch = pmesh.shard_batch(batch, mesh)
-        dt_arr = batch.dt if batch.dt is not None else jnp.asarray(dt)
-        return np.asarray(_hist_sharded_from_values(
-            values, batch.positions, batch.lengths, batch.is_bleached,
-            batch.loc_err if input_loc_err else None, dt_arr,
-            nb_states=nb_states, cell_dims=cell, window=window_sub,
-            min_len=min_len, matrix_type=matrix_type, mesh=mesh,
-            compute_engine="pallas" if engine == "pallas" else "xla"))
+        # the chunk bound is per device: each shard runs the same scan
+        gchunk = chunk * mesh.devices.size
+        hist = None
+        for c in range(int(np.ceil(batch.batch_size / gchunk))):
+            sl = slice(c * gchunk, (c + 1) * gchunk)
+            part = tdata.TrackBatch(
+                batch.positions[sl], batch.lengths[sl],
+                batch.loc_err[sl] if batch.loc_err is not None else None,
+                batch.is_bleached[sl],
+                None if batch.frames is None else batch.frames[sl],
+                None if batch.dt is None else batch.dt[sl])
+            part = pmesh.shard_batch(part, mesh)
+            dt_arr = part.dt if part.dt is not None else jnp.asarray(dt)
+            h = _hist_sharded_from_values(
+                values, part.positions, part.lengths, part.is_bleached,
+                part.loc_err if input_loc_err else None, dt_arr,
+                nb_states=nb_states, cell_dims=cell, window=window_sub,
+                min_len=min_len, matrix_type=matrix_type, mesh=mesh,
+                compute_engine="pallas" if engine == "pallas" else "xla")
+            hist = h if hist is None else hist + h
+        return np.asarray(hist)
     dt_arr = batch.dt if batch.dt is not None else jnp.asarray(dt)
     # round the top-k register up to a lane-friendly multiple of 128
     M = max(int(np.ceil(max_nb_states / 128)) * 128, 128)

@@ -49,7 +49,11 @@ def shard_batch(batch: tdata.TrackBatch, mesh: Mesh) -> tdata.TrackBatch:
     def put(x):
         return None if x is None else jax.device_put(x, sharding)
 
-    return tdata.TrackBatch(*(put(c) for c in batch.tree_flatten()[0]))
+    out = tdata.TrackBatch(*(put(c) for c in batch.tree_flatten()[0]))
+    cached = getattr(batch, "np_lengths", None)
+    if cached is not None:   # keep drivers off the device->host path
+        out.np_lengths = cached
+    return out
 
 
 def table_specs(tables: ModelTables, batch_size: int) -> ModelTables:

@@ -124,6 +124,25 @@ class Parameters:
                 env[name] = v
                 del pending[name]
         if self.steady_state_n:
+            # fractions come from the stationary solve below, not exprs
+            for s in range(self.steady_state_n):
+                pending.pop(f"F{s}", None)
+
+        def drain():
+            guard = len(pending) + 1
+            while pending and guard:
+                guard -= 1
+                for name, p in list(pending.items()):
+                    try:
+                        env[name] = p._fn(env)
+                        del pending[name]
+                    except NameError:
+                        continue
+
+        # rates may themselves be expr-tied (e.g. p10 = 'p01'): resolve the
+        # expr graph best-effort BEFORE the stationary solve reads them
+        drain()
+        if self.steady_state_n:
             # general stationary distribution of the rate generator via a
             # differentiable linear solve: pi^T Q = 0, sum(pi) = 1 — the
             # n>=4 generalization of the reference's hand-written 2/3-state
@@ -142,16 +161,7 @@ class Parameters:
             pi = jnp.linalg.solve(A, b)
             for s in range(n):
                 env[f"F{s}"] = pi[s]
-                pending.pop(f"F{s}", None)
-        guard = len(pending) + 1
-        while pending and guard:
-            guard -= 1
-            for name, p in list(pending.items()):
-                try:
-                    env[name] = p._fn(env)
-                    del pending[name]
-                except NameError:
-                    continue
+            drain()   # exprs that referenced the solved fractions
         if pending:
             raise ValueError(f"unresolvable exprs: {list(pending)}")
         return env

@@ -66,6 +66,9 @@ def analyze(tracks_or_path,
     from extrack_tpu import fit as tfit
     from extrack_tpu import histograms, predict, refine
 
+    if (export_csv or export_xml) and not do_predict:
+        raise ValueError("export_csv/export_xml need the state posteriors; "
+                         "call with do_predict=True")
     frames = None
     if isinstance(tracks_or_path, str):
         from extrack_tpu.io import readers

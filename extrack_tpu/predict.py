@@ -87,6 +87,19 @@ def predict_batch(batch: tdata.TrackBatch,
         dt_arr = batch.dt if batch.dt is not None else jnp.asarray(dt)
         use_pallas = (compute_engine in ("auto", "pallas")
                       and jax.default_backend() == "tpu")
+        if use_pallas:
+            # same eligibility gate as the non-sharded auto path: shapes
+            # whose posterior history exceeds the kernel's VMEM budget
+            # fall back to the XLA scan instead of crashing per shard
+            from extrack_tpu.ops import pallas_predict
+            try:
+                cap = pallas_predict.predict_block_cap(
+                    batch.max_len, window, batch.nb_dims,
+                    nb_states ** window, nb_states)
+            except Exception:
+                cap = 0
+            if cap < 128:
+                use_pallas = False
         logl, preds = _predict_sharded_from_values(
             values, batch.positions, batch.lengths, batch.is_bleached,
             batch.loc_err if input_loc_err else None, dt_arr,

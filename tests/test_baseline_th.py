@@ -34,3 +34,26 @@ def test_threshold_default_close_to_exact():
         Cs, frame_len=6, threshold=0.2, max_nb_states=120, **PARAMS)
     # the reference's own default accuracy envelope: small per-track error
     assert np.max(np.abs(th - exact)) < 0.05
+
+
+def test_threshold_off_matches_exact_substeps2():
+    """nb_substeps=2 exercises the newest-first state-history layout
+    (review fix: the one-hots were stored oldest-first for n >= 2)."""
+    Cs = _sim(2, B=8, T=5)
+    T = Cs.shape[1]
+    kw = dict(PARAMS, nb_substeps=2)
+    exact = baselines.reference_log_likelihood(Cs, frame_len=T, **kw)
+    th = baselines.reference_log_likelihood_th(
+        Cs, frame_len=T, threshold=1e-9, max_nb_states=10 ** 9, **kw)
+    np.testing.assert_allclose(th, exact, rtol=1e-10, atol=1e-10)
+
+
+def test_threshold_default_close_to_exact_substeps2():
+    Cs = _sim(3, B=16, T=6)
+    kw = dict(PARAMS, nb_substeps=2)
+    exact = baselines.reference_log_likelihood(Cs, frame_len=6, **kw)
+    th = baselines.reference_log_likelihood_th(
+        Cs, frame_len=4, threshold=0.2, max_nb_states=240, **kw)
+    # substeps=2 branches x4 per frame, so the same threshold prunes more
+    # aggressively than at substeps=1 — the envelope is correspondingly wider
+    assert np.max(np.abs(th - exact)) < 0.2

@@ -130,3 +130,52 @@ def test_driver_sharded_flags_match_unsharded():
         np.testing.assert_allclose(mus8[k], mus1[k], rtol=1e-12, atol=1e-12)
         np.testing.assert_allclose(sigs8[k], sigs1[k], rtol=1e-12,
                                    atol=1e-12)
+
+
+def test_sharded_hist_batch_chunked_matches_unchunked():
+    """The sharded XLA histogram path chunks per device (review fix):
+    forcing a tiny chunk must not change the result."""
+    batch, _ = _batch_tables(7, B=40)
+    values = {"LocErr": 0.02, "D0": 0.0, "D1": 0.1, "F0": 0.4, "F1": 0.6,
+              "p01": 0.1, "p10": 0.15, "pBL": 0.1}
+    kw = dict(cell_dims=(0.8, None, None), nb_states=2, window=4,
+              engine="xla")
+    h_one = histograms.hist_batch(batch, values, 0.02, **kw)
+    h_sh = histograms.hist_batch(batch, values, 0.02, sharded=True,
+                                 chunk=2, **kw)
+    np.testing.assert_allclose(np.asarray(h_sh), np.asarray(h_one),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_hist_topk_warns_and_runs():
+    import warnings
+    batch, _ = _batch_tables(8, B=12)
+    values = {"LocErr": 0.02, "D0": 0.0, "D1": 0.1, "F0": 0.4, "F1": 0.6,
+              "p01": 0.1, "p10": 0.15, "pBL": 0.1}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        h = histograms.hist_batch(batch, values, 0.02,
+                                  cell_dims=(0.8, None, None), nb_states=2,
+                                  engine="topk", sharded=True)
+    assert any("sharded" in str(x.message) for x in w)
+    assert np.isfinite(np.asarray(h)).all()
+
+
+def test_sharded_predict_ineligible_shape_falls_back(monkeypatch):
+    """sharded predict on a TPU-ineligible shape (cap 0) must fall back to
+    the XLA engine, not crash (review fix)."""
+    from extrack_tpu import predict
+    # window=5 at T=260 exceeds the posterior kernel's VMEM budget
+    # (predict_block_cap == 0), the smallest ineligible shape
+    batch, _ = _batch_tables(9, B=8, T=260)
+    values = {"LocErr": 0.02, "D0": 0.0, "D1": 0.1, "F0": 0.4, "F1": 0.6,
+              "p01": 0.1, "p10": 0.15, "pBL": 0.1}
+    kw = dict(cell_dims=(0.8,), window=5, min_len=3)
+    logl_1, preds_1 = predict.predict_batch(batch, values, 0.02, 2, **kw)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    logl_8, preds_8 = predict.predict_batch(batch, values, 0.02, 2,
+                                            sharded=True, **kw)
+    np.testing.assert_allclose(np.asarray(logl_8), np.asarray(logl_1),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(preds_8), np.asarray(preds_1),
+                               rtol=1e-10, atol=1e-12)

@@ -177,3 +177,22 @@ def test_generate_params_four_state_steady():
     pi = np.array([float(vals[f"F{s}"]) for s in range(4)])
     np.testing.assert_allclose(pi.sum(), 1.0, rtol=1e-12)
     assert all(not p[f"F{s}"].vary for s in range(4))
+
+
+def test_steady_state_with_expr_tied_rate():
+    """Rates may be expr-tied; the stationary solve must see them resolved
+    (review fix: resolve() drained the expr graph only after the solve)."""
+    import jax.numpy as jnp
+    from extrack_tpu import params as tparams
+    p = tparams.Parameters()
+    p.add("p01", 0.08, min=0.0, max=1.0)
+    p.add("p10", None, expr="p01 * 2")
+    p.steady_state_n = 2
+    for s in range(2):
+        p.add(f"F{s}", 0.5, vary=False)
+    vals = p.resolve()
+    np.testing.assert_allclose(float(vals["p10"]), 0.16, rtol=1e-12)
+    # pi for rates (0.08, 0.16): pi0 = p10/(p01+p10) = 2/3
+    np.testing.assert_allclose(float(vals["F0"]), 2.0 / 3.0, rtol=1e-10)
+    np.testing.assert_allclose(float(vals["F0"]) + float(vals["F1"]), 1.0,
+                               rtol=1e-12)

@@ -99,9 +99,6 @@ def segment_histogram(positions, lengths, is_bleached, tb: ModelTables,
     lp = jnp.full((B, M), _NEG, dtype)
     lp = lp.at[:, :P].set(lp0.astype(dtype))
     ll = jnp.zeros((B, M), dtype)
-    seqs = jnp.zeros((B, M, T), jnp.int8)
-    seqs = seqs.at[:, :P, 0].set(pairs[:, -1].astype(jnp.int8))
-    seqs = seqs.at[:, :P, 1].set(pairs[:, 0].astype(jnp.int8))
     newest = jnp.broadcast_to(
         jnp.pad(pairs[:, 0], (0, M - P)).astype(jnp.int8), (B, M))
     sig2_pat = jnp.take(sig2_at(0), jnp.asarray(
@@ -114,7 +111,7 @@ def segment_histogram(positions, lengths, is_bleached, tb: ModelTables,
     end_k = tb.end_ll.astype(dtype)            # (S,)
 
     def step(carry, xs):
-        m, s2, lp, ll, seqs, newest, w_final = carry
+        m, s2, lp, ll, newest, w_final = carry
         t, x_t, l2_t, x_next, l2_next, s2row = xs
         is_final = (t == lengths - 1)
         is_interior = (t < lengths - 1)
@@ -164,20 +161,21 @@ def segment_histogram(positions, lengths, is_bleached, tb: ModelTables,
                 flat, idx.reshape((B, M) + (1,) * (child.ndim - 3)), axis=1)
 
         new_state = ((idx // M) // newest_div).astype(jnp.int8)
-        parent = idx % M
-        seqs_new = jnp.take_along_axis(seqs, parent[..., None], axis=1)
-        seqs_new = jax.lax.dynamic_update_slice(
-            seqs_new, new_state[..., None], (jnp.zeros((), t.dtype),) * 2
-            + (t + 1,))
         keep = is_interior[:, None]
+        # backpointer outputs instead of a (B, M, T) sequence carry: the
+        # per-step sequence gather was the scan's dominant memory traffic;
+        # frozen (non-interior) tracks record identity parents so the
+        # final-slot assignment survives to the end of the scan
+        parent = jnp.where(keep, (idx % M).astype(jnp.int32),
+                           jax.lax.broadcasted_iota(jnp.int32, (B, M), 1))
+        state_out = jnp.where(keep, new_state, newest)
         m = jnp.where(keep[..., None],
                       pick(jnp.broadcast_to(new_m[:, None], (B, A, M, D))), m)
         s2 = jnp.where(keep[..., None], pick(s2_child), s2)
         lp = jnp.where(keep, pick(lp_child), lp)
         ll = jnp.where(keep, pick(ll_child), ll)
-        seqs = jnp.where(keep[..., None], seqs_new, seqs)
         newest = jnp.where(keep, new_state, newest)
-        return (m, s2, lp, ll, seqs, newest, w_final), None
+        return (m, s2, lp, ll, newest, w_final), (parent, state_out)
 
     ts = jnp.arange(1, T, dtype=jnp.int32)
     pos_t = jnp.swapaxes(positions[:, 1:], 0, 1)
@@ -192,9 +190,29 @@ def segment_histogram(positions, lengths, is_bleached, tb: ModelTables,
     xs = (ts, pos_t, l2_t, jnp.swapaxes(pos_next, 0, 1),
           jnp.swapaxes(l2_next, 0, 1), s2rows)
 
-    carry = (m, s2, lp, ll, seqs, newest, w_final)
-    carry, _ = jax.lax.scan(jax.checkpoint(step), carry, xs)
-    _, _, _, _, seqs, _, w_final = carry
+    carry = (m, s2, lp, ll, newest, w_final)
+    carry, (parents, states) = jax.lax.scan(jax.checkpoint(step), carry, xs)
+    w_final = carry[-1]
+
+    # reconstruct the surviving sequences by backtracking: after reverse
+    # step i (scan step t = i+1) the chain maps final slots to the register
+    # after step t-1; vals[i] is the state at frame i+2 of each final slot
+    def back(chain, ps):
+        par_t, st_t = ps
+        val = jnp.take_along_axis(st_t, chain, axis=1)
+        return jnp.take_along_axis(par_t, chain, axis=1), val
+
+    chain0 = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None], (B, M))
+    chain, vals = jax.lax.scan(back, chain0, (parents, states),
+                               reverse=True)
+    # chain now indexes the INITIAL register: frames 0 and 1 come from the
+    # two-frame init patterns; vals[T-2] targets frame T (discarded)
+    pairs_pad = jnp.pad(pairs.astype(jnp.int8), ((0, M - P), (0, 0)))
+    col0 = pairs_pad[:, -1][chain]
+    col1 = pairs_pad[:, 0][chain]
+    seqs = jnp.concatenate(
+        [col0[..., None], col1[..., None],
+         jnp.moveaxis(vals[:T - 2], 0, -1)], axis=-1)
     return decode_segments(seqs, w_final, lengths, S)
 
 

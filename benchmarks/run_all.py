@@ -183,18 +183,39 @@ def bench_model_selection(n=5000):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", help="comma-separated substring filter on "
+                    "benchmark names; results merge into results.json")
     args = ap.parse_args()
     print(f"devices: {jax.devices()}", flush=True)
-    bench_fit_fixture()
-    bench_predict_hist(2000 if args.quick else 20000)
-    bench_3state(1000 if args.quick else 5000)
-    bench_refine(1000 if args.quick else 10000)
-    bench_refine_large(n=50_000 if args.quick else 939_000)
-    bench_million(quick=args.quick)
-    bench_model_selection(1000 if args.quick else 5000)
+    cases = [
+        ("fit_2state_example_tracks", bench_fit_fixture, (), {}),
+        ("predict_and_histograms", bench_predict_hist,
+         (2000 if args.quick else 20000,), {}),
+        ("fit_3state_substeps2", bench_3state,
+         (1000 if args.quick else 5000,), {}),
+        ("refine_2state_10k", bench_refine,
+         (1000 if args.quick else 10000,), {}),
+        ("refine_2state_1M", bench_refine_large, (),
+         {"n": 50_000 if args.quick else 939_000}),
+        ("fit_1M_tracks_sim_fov", bench_million, (), {"quick": args.quick}),
+        ("model_selection", bench_model_selection,
+         (1000 if args.quick else 5000,), {}),
+    ]
+    wanted = args.only.split(",") if args.only else None
+    for name, fn, a, kw in cases:
+        if wanted and not any(w in name for w in wanted):
+            continue
+        fn(*a, **kw)
     out = os.path.join(os.path.dirname(__file__), "results.json")
+    if wanted and os.path.exists(out):
+        with open(out) as fh:
+            prev = json.load(fh)
+        prev.update(RESULTS)
+        results = prev
+    else:
+        results = RESULTS
     with open(out, "w") as fh:
-        json.dump(RESULTS, fh, indent=1)
+        json.dump(results, fh, indent=1)
     print(f"wrote {out}")
 
 

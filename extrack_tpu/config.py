@@ -37,6 +37,19 @@ if jax.config.jax_compilation_cache_dir is None:
             jax.config.update("jax_persistent_cache_min_entry_size_bytes",
                               -1)
 
+# Keep Python caller frames OUT of MLIR locations.  The Mosaic kernel
+# payload (the tpu_custom_call backend_config) embeds its module's location
+# metadata, including the USER's call-site file:line chain.  JAX strips
+# locations from the outer StableHLO when computing the persistent-cache
+# key, but the payload is an opaque string attribute — so with the default
+# limit of 10 frames, calling the same fit from a different script (or a
+# different line) changes the cache key and forces a full remote recompile
+# (~600 s for the Pallas value_and_grad program through the tunnel).  With
+# the limit at 0 the payload is byte-stable across call sites and
+# processes.  Python exception tracebacks are unaffected; only MLIR debug
+# locations lose user frames.
+jax.config.update("jax_traceback_in_locations_limit", 0)
+
 _cache_tuned = False
 
 

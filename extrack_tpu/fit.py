@@ -160,6 +160,18 @@ def run_lbfgs_device(neg_logl: Callable, z0, *, data=None,
     import optax
     import optax.tree_utils as otu
 
+    # rebuilding the jitted loop per call costs a full re-trace + Mosaic
+    # re-lowering (~10 s host time for the 4-bucket Pallas objective);
+    # multi-start fits call this once per start, so memoize per objective
+    cache_key = (max_iter, ftol, gtol, data is None)
+    cached = getattr(neg_logl, "_lbfgs_runs", None)
+    if cached is None:
+        cached = neg_logl._lbfgs_runs = {}
+    if cache_key in cached:
+        run = cached[cache_key]
+        z, value, iters = run(jnp.asarray(z0), data)
+        return np.asarray(z), float(value), int(iters)
+
     opt = optax.lbfgs()
 
     @jax.jit
@@ -190,6 +202,7 @@ def run_lbfgs_device(neg_logl: Callable, z0, *, data=None,
         z, state, _ = jax.lax.while_loop(cont, step, (z0, state0, big))
         return z, fn(z), otu.tree_get(state, "count")
 
+    cached[cache_key] = run
     z, value, iters = run(jnp.asarray(z0), data)
     return np.asarray(z), float(value), int(iters)
 

@@ -1,0 +1,23 @@
+"""Guards on the import-time JAX configuration in extrack_tpu.config.
+
+These settings exist to keep the remote-TPU persistent compilation cache
+effective; regressing them silently re-introduces multi-minute cold starts.
+"""
+import jax
+
+import extrack_tpu  # noqa: F401  (import applies config)
+
+
+def test_no_user_frames_in_mlir_locations():
+    # The Mosaic kernel payload (tpu_custom_call backend_config) embeds its
+    # module's MLIR location metadata, including the user's call-site
+    # file:line chain.  JAX strips locations from the outer StableHLO when
+    # computing the persistent-cache key, but the payload is an opaque
+    # string attribute — with the default limit of 10 frames the cache key
+    # changes with every calling script, forcing a full remote recompile
+    # (~600 s observed for the Pallas value_and_grad program).
+    assert jax.config.jax_traceback_in_locations_limit == 0
+
+
+def test_compilation_cache_configured():
+    assert jax.config.jax_compilation_cache_dir

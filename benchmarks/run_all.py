@@ -50,11 +50,15 @@ def timed(name, repeat_warm=True):
 FIXTURE = "/root/reference/Tutorials/example_tracks.csv"
 
 
-@timed("fit_2state_example_tracks")
-def bench_fit_fixture():
-    from extrack_tpu import fit
+def prep_fit_fixture():
     from extrack_tpu.io import readers
     tracks, _, _ = readers.read_table(FIXTURE, lengths=np.arange(5, 12))
+    return tracks
+
+
+@timed("fit_2state_example_tracks")
+def bench_fit_fixture(tracks):
+    from extrack_tpu import fit
     res = fit.param_fitting(tracks, 0.02, nb_states=2, frame_len=6,
                             cell_dims=(1.0,), verbose=0)
     return {"logL": round(res.logl, 3), "n_evals": res.n_evals,
@@ -70,9 +74,8 @@ def _sim(n_tracks, seed=1, max_len=12):
 
 
 @timed("predict_and_histograms_20k")
-def bench_predict_hist(n=20000):
+def bench_predict_hist(tracks):
     from extrack_tpu import histograms, params as xp, predict
-    tracks, _, _ = _sim(n, seed=2)
     spec = xp.generate_params(nb_states=2, estimated_LocErr=[0.02],
                               estimated_Ds=[0.0, 0.08],
                               estimated_Fs=[0.5, 0.5],
@@ -87,14 +90,19 @@ def bench_predict_hist(n=20000):
             "hist_total": round(float(hist.sum()), 1)}
 
 
-@timed("fit_3state_substeps2_5k")
-def bench_3state(n=5000):
-    from extrack_tpu import data as tdata, fit, params as xp, simulate
+def prep_3state(n):
+    from extrack_tpu import simulate
     tracks, _, _ = simulate.sim_fov(
         nb_tracks=n, max_track_len=10, min_track_len=3, LocErr=0.02,
         Ds=(0.0, 0.03, 0.3), nb_dims=2,
         TrMat=np.array([[.85, .1, .05], [.1, .85, .05], [.05, .1, .85]]),
         dt=0.02, pBL=0.05, cell_dims=(0.5, None, None), seed=3)
+    return tracks
+
+
+@timed("fit_3state_substeps2_5k")
+def bench_3state(tracks):
+    from extrack_tpu import data as tdata, fit, params as xp
     spec = xp.generate_params(nb_states=3, LocErr_type=1, D_max=3.0,
                               estimated_Ds=[0.001, 0.03, 0.2],
                               estimated_transition_rates=0.08)
@@ -104,15 +112,19 @@ def bench_3state(n=5000):
             "success": bool(res.success)}
 
 
-@timed("refine_2state_1M")
-def bench_refine_large(n=939_000):
-    """Production-scale refinement through the Pallas kernel."""
-    from extrack_tpu import refine, simulate
+def prep_refine_large(n):
+    from extrack_tpu import simulate
     batches, _ = simulate.sim_fov_batch(
         nb_tracks=n, max_track_len=10, min_track_len=3,
         LocErr=0.02, Ds=(0.0, 0.08), TrMat=np.array([[0.9, .1], [.1, .9]]),
         dt=0.02, pBL=0.05, cell_dims=(0.5, None, None), seed=7)
     jax.block_until_ready([b.positions for b in batches])
+    return batches
+
+
+@timed("refine_2state_1M")
+def bench_refine_large(batches):
+    """Production-scale refinement through the Pallas kernel."""
     from extrack_tpu.ops import pallas_refine
     import jax.numpy as jnp
     log_trans = jnp.log(jnp.asarray([[0.9, 0.1], [0.1, 0.9]], jnp.float32))
@@ -129,9 +141,8 @@ def bench_refine_large(n=939_000):
 
 
 @timed("refine_2state_10k")
-def bench_refine(n=10000):
+def bench_refine(tracks):
     from extrack_tpu import refine
-    tracks, _, _ = _sim(n, seed=4, max_len=10)
     Ds = np.array([0.0, 0.08])
     tr = np.array([[0.9, .1], [.1, .9]])
     mus, sigmas = refine.position_refinement(
@@ -144,7 +155,7 @@ def bench_refine(n=10000):
 
 
 @timed("fit_1M_tracks_sim_fov")
-def bench_million(n=1_000_000, quick=False):
+def bench_million(quick, n=1_000_000):
     from extrack_tpu import fit, params as xp, simulate
     if quick:
         n = 100_000
@@ -171,9 +182,8 @@ def bench_million(n=1_000_000, quick=False):
 
 
 @timed("model_selection_2to4_states_5k")
-def bench_model_selection(n=5000):
+def bench_model_selection(tracks):
     from extrack_tpu import auto_fitting
-    tracks, _, _ = _sim(n, seed=6, max_len=10)
     ms = auto_fitting.model_selection(tracks, 0.02, state_range=(2, 3, 4),
                                       cell_dims=(0.5,), verbose=0)
     return {"best": ms.best_nb_states,
@@ -187,25 +197,33 @@ def main():
                     "benchmark names; results merge into results.json")
     args = ap.parse_args()
     print(f"devices: {jax.devices()}", flush=True)
+    # (name, untimed data preparation, timed benchmark) — simulation /
+    # file reads happen OUTSIDE the timed region so cold/warm measure the
+    # analysis itself.  bench_million deliberately keeps simulation inside
+    # (it benchmarks the sim->fit pipeline and reports sim_s/fit_s).
+    q = args.quick
     cases = [
-        ("fit_2state_example_tracks", bench_fit_fixture, (), {}),
-        ("predict_and_histograms", bench_predict_hist,
-         (2000 if args.quick else 20000,), {}),
-        ("fit_3state_substeps2", bench_3state,
-         (1000 if args.quick else 5000,), {}),
-        ("refine_2state_10k", bench_refine,
-         (1000 if args.quick else 10000,), {}),
-        ("refine_2state_1M", bench_refine_large, (),
-         {"n": 50_000 if args.quick else 939_000}),
-        ("fit_1M_tracks_sim_fov", bench_million, (), {"quick": args.quick}),
-        ("model_selection", bench_model_selection,
-         (1000 if args.quick else 5000,), {}),
+        ("fit_2state_example_tracks", prep_fit_fixture, bench_fit_fixture),
+        ("predict_and_histograms",
+         lambda: _sim(2000 if q else 20000, seed=2)[0], bench_predict_hist),
+        ("fit_3state_substeps2",
+         lambda: prep_3state(1000 if q else 5000), bench_3state),
+        ("refine_2state_10k",
+         lambda: _sim(1000 if q else 10000, seed=4, max_len=10)[0],
+         bench_refine),
+        ("refine_2state_1M",
+         lambda: prep_refine_large(50_000 if q else 939_000),
+         bench_refine_large),
+        ("fit_1M_tracks_sim_fov", lambda: q, bench_million),
+        ("model_selection",
+         lambda: _sim(1000 if q else 5000, seed=6, max_len=10)[0],
+         bench_model_selection),
     ]
     wanted = args.only.split(",") if args.only else None
-    for name, fn, a, kw in cases:
+    for name, prep, fn in cases:
         if wanted and not any(w in name for w in wanted):
             continue
-        fn(*a, **kw)
+        fn(prep())
     out = os.path.join(os.path.dirname(__file__), "results.json")
     if wanted and os.path.exists(out):
         with open(out) as fh:

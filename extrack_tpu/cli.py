@@ -181,6 +181,14 @@ def cmd_simulate(args):
 
 
 def main(argv=None):
+    # Honor JAX_PLATFORMS even when an accelerator plugin is importable:
+    # plugins register through entry points and win over the env var alone,
+    # so `JAX_PLATFORMS=cpu extrack-tpu ...` would silently still grab the
+    # accelerator (and, on a shared/remote TPU, collide with other jobs).
+    import os
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     ap = argparse.ArgumentParser(
         prog="extrack-tpu",
         description="TPU-native single-particle-tracking state inference")

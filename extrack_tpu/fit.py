@@ -142,7 +142,40 @@ def make_objective(batch,
 
     neg_logl.batches = batches        # fit() passes these as arguments
     neg_logl.uses_pallas = any(pallas_batches)
+    # Everything the closure BAKES into a trace (the track arrays ride as
+    # arguments, so they are deliberately absent): two objectives with equal
+    # signatures lower to identical programs, letting drivers reuse jitted
+    # artifacts instead of paying a re-trace + Mosaic re-lowering (~10 s
+    # host-side) per independently-built fit — e.g. every state count
+    # repeat in a model-selection scan, or per-FOV fits of equal shape.
+    dt_sig = (np.asarray(dt).shape, np.asarray(dt, np.float64).tobytes())
+    neg_logl.trace_signature = (
+        spec.trace_signature(), dt_sig, nb_states, tuple(cell_dims),
+        nb_substeps, window, min_len, matrix_type, bool(input_loc_err),
+        bool(sharded), None if mesh is None else len(mesh.devices.ravel()),
+        tuple(pallas_batches), jax.default_backend())
     return neg_logl
+
+
+# jitted artifacts shared across objectives with equal trace signatures;
+# keyed on (kind, signature).  Bounded in practice by the number of distinct
+# fit configurations a process runs.
+_JIT_CACHE: Dict = {}
+
+
+def _shared_jit(neg_logl: Callable, kind, build: Callable):
+    """Return a cached jitted artifact for this objective's trace signature,
+    building (and caching) it on first use.  Correct because the signature
+    covers every constant the closure bakes into its trace; jax.jit itself
+    re-specializes if the *argument* shapes differ."""
+    sig = getattr(neg_logl, "trace_signature", None)
+    if sig is None:
+        return build()
+    key = (kind, sig)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = _JIT_CACHE[key] = build()
+    return fn
 
 
 def run_lbfgs_device(neg_logl: Callable, z0, *, data=None,
@@ -162,13 +195,21 @@ def run_lbfgs_device(neg_logl: Callable, z0, *, data=None,
 
     # rebuilding the jitted loop per call costs a full re-trace + Mosaic
     # re-lowering (~10 s host time for the 4-bucket Pallas objective);
-    # multi-start fits call this once per start, so memoize per objective
+    # multi-start fits call this once per start and model-selection scans
+    # once per state count, so memoize: per objective always, and across
+    # objectives with equal trace signatures when the data rides as an
+    # argument (with data=None the closed-over arrays are baked into the
+    # trace, so sharing would alias datasets).
     cache_key = (max_iter, ftol, gtol, data is None)
     cached = getattr(neg_logl, "_lbfgs_runs", None)
     if cached is None:
         cached = neg_logl._lbfgs_runs = {}
-    if cache_key in cached:
-        run = cached[cache_key]
+    run = cached.get(cache_key)
+    if run is None and data is not None:
+        run = _JIT_CACHE.get((("run",) + cache_key,
+                              getattr(neg_logl, "trace_signature", object())))
+    if run is not None:
+        cached[cache_key] = run
         z, value, iters = run(jnp.asarray(z0), data)
         return np.asarray(z), float(value), int(iters)
 
@@ -203,6 +244,8 @@ def run_lbfgs_device(neg_logl: Callable, z0, *, data=None,
         return z, fn(z), otu.tree_get(state, "count")
 
     cached[cache_key] = run
+    if data is not None and hasattr(neg_logl, "trace_signature"):
+        _JIT_CACHE[(("run",) + cache_key, neg_logl.trace_signature)] = run
     z, value, iters = run(jnp.asarray(z0), data)
     return np.asarray(z), float(value), int(iters)
 
@@ -254,7 +297,8 @@ def fit(batch: tdata.TrackBatch,
     # 215-860MB).  Host arrays go to the device ONCE here; already-sharded
     # device arrays pass through untouched.
     data = jax.device_put(neg_logl.batches)   # no-op for committed arrays
-    vg2 = jax.jit(jax.value_and_grad(neg_logl))
+    vg2 = _shared_jit(neg_logl, "vg",
+                      lambda: jax.jit(jax.value_and_grad(neg_logl)))
     vg = lambda z: vg2(z, data)    # noqa: E731
     z0 = spec.to_unconstrained()
     history = []

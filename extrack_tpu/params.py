@@ -111,6 +111,19 @@ class Parameters:
     def free_names(self):
         return [n for n, p in self._params.items() if p.vary]
 
+    def trace_signature(self):
+        """Hashable structural identity of everything ``resolve`` /
+        ``from_unconstrained`` bake into a jit trace: parameter order,
+        bounds (bijection constants), vary mask, expr graph, the VALUES of
+        fixed parameters — but not the values of free ones (those ride in
+        ``z``).  Two Parameters with equal signatures trace to identical
+        programs, letting fit drivers share compiled artifacts across
+        independently-built objectives (see fit._shared_jit)."""
+        return (tuple((p.name, p.min, p.max, p.vary, p.expr,
+                       None if p.vary else p.value)
+                      for p in self._params.values()),
+                self.steady_state_n)
+
     def resolve(self, free_values: Optional[Dict[str, jnp.ndarray]] = None):
         """Evaluate all parameters (expr graph included) into a name->value
         dict; ``free_values`` overrides the stored values of free params."""

@@ -100,3 +100,46 @@ def test_device_lbfgs_matches_scipy():
     assert r2.success and r2.n_evals > 0
     assert abs(r1.logl - r2.logl) <= 1e-3 * abs(r1.logl) + 0.5
     assert abs(r1.params["D1"].value - r2.params["D1"].value) < 5e-3
+
+
+def test_trace_signature_sharing():
+    """Objectives with identical configuration share jitted artifacts
+    (fit._shared_jit); any baked constant differing must change the key."""
+    import numpy as np
+    from extrack_tpu import data as tdata, fit, params as xp, simulate
+    tracks, _, _ = simulate.sim_fov(
+        nb_tracks=60, max_track_len=8, min_track_len=4, LocErr=0.02,
+        Ds=(0.0, 0.08), TrMat=np.array([[0.9, .1], [.1, .9]]), dt=0.02,
+        pBL=0.05, cell_dims=(0.5, None, None), seed=11)
+    batch = tdata.from_dict(tracks)
+
+    def obj(spec, **kw):
+        return fit.make_objective(batch, spec, kw.pop("dt", 0.02), 2,
+                                  (0.5,), 1, 4, None, 1, False, False,
+                                  "auto", **kw)
+
+    spec = xp.generate_params(nb_states=2, D_max=1.0)
+    a = obj(spec)
+    b = obj(xp.generate_params(nb_states=2, D_max=1.0))
+    assert a.trace_signature == b.trace_signature
+    # bounds are baked into the bijections -> must not share
+    c = obj(xp.generate_params(nb_states=2, D_max=3.0))
+    assert a.trace_signature != c.trace_signature
+    # the scalar dt is baked as a constant -> must not share
+    d = obj(xp.generate_params(nb_states=2, D_max=1.0), dt=0.04)
+    assert a.trace_signature != d.trace_signature
+    # fixed-parameter VALUES are baked; free values ride in z
+    s2 = xp.generate_params(nb_states=2, D_max=1.0)
+    s2["pBL"].vary = False
+    assert obj(s2).trace_signature != a.trace_signature
+
+    # behavioral: a second identical fit reuses the cached vg and returns
+    # the same optimum
+    fit._JIT_CACHE.clear()
+    r1 = fit.fit(batch, spec, 0.02, 2, cell_dims=(0.5,), window=4, verbose=0)
+    n_cached = len(fit._JIT_CACHE)
+    assert n_cached >= 1
+    r2 = fit.fit(batch, xp.generate_params(nb_states=2, D_max=1.0), 0.02, 2,
+                 cell_dims=(0.5,), window=4, verbose=0)
+    assert len(fit._JIT_CACHE) == n_cached       # no new artifacts built
+    assert abs(r1.logl - r2.logl) < 1e-6 * abs(r1.logl) + 1e-6

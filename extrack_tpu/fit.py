@@ -193,14 +193,18 @@ def run_lbfgs_device(neg_logl: Callable, z0, *, data=None,
     import optax
     import optax.tree_utils as otu
 
-    # rebuilding the jitted loop per call costs a full re-trace + Mosaic
-    # re-lowering (~10 s host time for the 4-bucket Pallas objective);
-    # multi-start fits call this once per start and model-selection scans
-    # once per state count, so memoize: per objective always, and across
+    # Rebuilding the jitted loop per call costs a full re-trace + Mosaic
+    # re-lowering (~10 s host time for the 4-bucket Pallas objective), and
+    # the loop program itself is the most expensive one in the package to
+    # compile (the zoom linesearch instantiates the objective several
+    # times: 50-200 s through the remote-compile tunnel).  So (a)
+    # max_iter/ftol/gtol ride as DYNAMIC arguments — one program per
+    # objective trace signature, shared across every setting of the knobs —
+    # and (b) the program is memoized per objective always, and across
     # objectives with equal trace signatures when the data rides as an
     # argument (with data=None the closed-over arrays are baked into the
     # trace, so sharing would alias datasets).
-    cache_key = (max_iter, ftol, gtol, data is None)
+    cache_key = (data is None,)
     cached = getattr(neg_logl, "_lbfgs_runs", None)
     if cached is None:
         cached = neg_logl._lbfgs_runs = {}
@@ -208,46 +212,54 @@ def run_lbfgs_device(neg_logl: Callable, z0, *, data=None,
     if run is None and data is not None:
         run = _JIT_CACHE.get((("run",) + cache_key,
                               getattr(neg_logl, "trace_signature", object())))
-    if run is not None:
-        cached[cache_key] = run
-        z, value, iters = run(jnp.asarray(z0), data)
-        return np.asarray(z), float(value), int(iters)
+    if run is None:
+        opt = optax.lbfgs()
 
-    opt = optax.lbfgs()
+        @jax.jit
+        def run(z0, data, max_iter, ftol, gtol):
+            fn = neg_logl if data is None else (lambda z: neg_logl(z, data))
+            value_and_grad = optax.value_and_grad_from_state(fn)
 
-    @jax.jit
-    def run(z0, data):
-        fn = neg_logl if data is None else (lambda z: neg_logl(z, data))
-        value_and_grad = optax.value_and_grad_from_state(fn)
+            def step(carry):
+                z, state, _ = carry
+                value, grad = value_and_grad(z, state=state)
+                updates, state = opt.update(grad, state, z, value=value,
+                                            grad=grad, value_fn=fn)
+                return optax.apply_updates(z, updates), state, value
 
-        def step(carry):
-            z, state, _ = carry
-            value, grad = value_and_grad(z, state=state)
-            updates, state = opt.update(grad, state, z, value=value,
-                                        grad=grad, value_fn=fn)
-            return optax.apply_updates(z, updates), state, value
+            def cont(carry):
+                z, state, f_prev = carry
+                count = otu.tree_get(state, "count")
+                grad = otu.tree_get(state, "grad")
+                value = otu.tree_get(state, "value")
+                small_grad = otu.tree_norm(grad) <= gtol
+                rel = jnp.abs(f_prev - value) / jnp.maximum(
+                    jnp.maximum(jnp.abs(value), jnp.abs(f_prev)), 1.0)
+                return (count == 0) | ((count < max_iter) & ~small_grad
+                                       & (rel > ftol) & jnp.isfinite(value))
 
-        def cont(carry):
-            z, state, f_prev = carry
-            count = otu.tree_get(state, "count")
-            grad = otu.tree_get(state, "grad")
-            value = otu.tree_get(state, "value")
-            small_grad = otu.tree_norm(grad) <= gtol
-            rel = jnp.abs(f_prev - value) / jnp.maximum(
-                jnp.maximum(jnp.abs(value), jnp.abs(f_prev)), 1.0)
-            return (count == 0) | ((count < max_iter) & ~small_grad
-                                   & (rel > ftol) & jnp.isfinite(value))
+            state0 = opt.init(z0)
+            big = jnp.asarray(jnp.inf, z0.dtype)
+            z, state, _ = jax.lax.while_loop(cont, step, (z0, state0, big))
+            return z, fn(z), otu.tree_get(state, "count")
 
-        state0 = opt.init(z0)
-        big = jnp.asarray(jnp.inf, z0.dtype)
-        z, state, _ = jax.lax.while_loop(cont, step, (z0, state0, big))
-        return z, fn(z), otu.tree_get(state, "count")
-
+        if data is not None and hasattr(neg_logl, "trace_signature"):
+            _JIT_CACHE[(("run",) + cache_key, neg_logl.trace_signature)] = run
     cached[cache_key] = run
-    if data is not None and hasattr(neg_logl, "trace_signature"):
-        _JIT_CACHE[(("run",) + cache_key, neg_logl.trace_signature)] = run
-    z, value, iters = run(jnp.asarray(z0), data)
+    z, value, iters = run(jnp.asarray(z0), data, jnp.asarray(max_iter),
+                          jnp.asarray(ftol), jnp.asarray(gtol))
     return np.asarray(z), float(value), int(iters)
+
+
+def device_lbfgs_ready(neg_logl: Callable, data=None) -> bool:
+    """True when the on-device L-BFGS program for this objective is already
+    built in-process (so dispatching it costs no trace/compile)."""
+    if (getattr(neg_logl, "_lbfgs_runs", None)
+            and (data is None,) in neg_logl._lbfgs_runs):
+        return True
+    return (data is not None
+            and (("run", False), getattr(neg_logl, "trace_signature",
+                                         object())) in _JIT_CACHE)
 
 
 def fit(batch: tdata.TrackBatch,
@@ -336,10 +348,16 @@ def fit(batch: tdata.TrackBatch,
     # Powell, ExTrack_GUI.py:298) get a value-only objective
     grad_free = method.lower() in ("powell", "nelder-mead", "cobyla")
     # the host driver syncs value+grad twice per evaluation; when nobody
-    # watches per-eval state, run the whole L-BFGS loop on device instead
-    # (one dispatch per start — latency-proof on remote/busy accelerators).
-    # Auto only for latency-bound fits: the zoom linesearch evaluates the
-    # objective several times per iteration, which loses on compute-bound
+    # watches per-eval state, the whole L-BFGS loop can run on device
+    # instead (one dispatch per start — latency-proof on remote/busy
+    # accelerators).  But the loop PROGRAM is the most expensive one in
+    # the package to build (the zoom linesearch instantiates the objective
+    # several times; 50-200 s to compile/load through the remote tunnel vs
+    # ~3 s for the plain value_and_grad program), so auto mode only takes
+    # it when the program already exists in-process; ``method=
+    # "device-lbfgs"`` opts in explicitly (worth it for fleets of
+    # same-shaped fits).  The zoom linesearch also evaluates the objective
+    # several times per iteration, which loses on compute-bound
     # multi-million-position datasets where scipy's ~1.3 evals/iter win.
     batches_n = batch if isinstance(batch, (list, tuple)) else [batch]
     n_positions = sum(int(b.batch_size) * int(b.max_len) for b in batches_n)
@@ -347,7 +365,8 @@ def fit(batch: tdata.TrackBatch,
                  or (method == "L-BFGS-B"
                      and jax.default_backend() == "tpu"
                      and n_positions <= 2_000_000
-                     and not (callback or checkpoint_path or verbose)))
+                     and not (callback or checkpoint_path or verbose)
+                     and device_lbfgs_ready(neg_logl, data)))
     if grad_free:
         def run_opt(z_init):
             return scipy.optimize.minimize(

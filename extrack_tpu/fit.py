@@ -322,7 +322,7 @@ def fit(batch: tdata.TrackBatch,
         ckpt = CheckpointManager(checkpoint_path)
 
     def fun(z):
-        v, g = vg(jnp.asarray(z))
+        v, g = jax.device_get(vg(jnp.asarray(z)))   # one sync for both
         v = float(v)
         g = np.asarray(g, dtype=np.float64)
         if not np.isfinite(v):

@@ -152,28 +152,38 @@ def segment_histogram(positions, lengths, is_bleached, tb: ModelTables,
             -0.5 * jnp.log(2 * jnp.pi * tot_n)
             - (x_next[:, None, None, :] - new_m[:, None]) ** 2 / (2 * tot_n),
             -1)
-        scores = look.reshape(B, A * M)
-        _, idx = jax.lax.top_k(scores, M)                       # (B, M)
+        # top-M selection as ONE multi-operand sort keyed on the lookahead
+        # score: the sort network shuffles every register array along with
+        # the keys, replacing top_k + five take_along_axis lane-gathers
+        # (dynamic gathers are the slow path on TPU; fixed shuffle
+        # patterns are not)
+        N = A * M
+        scores = look.reshape(B, N)
+        orig = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
+        m_b = jnp.broadcast_to(new_m[:, None], (B, A, M, D)).reshape(B, N, D)
+        s2_f = s2_child.reshape(B, N, D)
+        ops = ([-scores] + [m_b[..., d] for d in range(D)]
+               + [s2_f[..., d] for d in range(D)]
+               + [lp_child.reshape(B, N), ll_child.reshape(B, N), orig])
+        sel = [o[:, :M] for o in jax.lax.sort(
+            tuple(ops), dimension=1, num_keys=1, is_stable=True)]
+        m_new = jnp.stack(sel[1:1 + D], axis=-1)
+        s2_new = jnp.stack(sel[1 + D:1 + 2 * D], axis=-1)
+        lp_new, ll_new, orig_sel = sel[1 + 2 * D], sel[2 + 2 * D], sel[-1]
 
-        def pick(child):   # child (B, A, M, ...) -> (B, M, ...)
-            flat = child.reshape((B, A * M) + child.shape[3:])
-            return jnp.take_along_axis(
-                flat, idx.reshape((B, M) + (1,) * (child.ndim - 3)), axis=1)
-
-        new_state = ((idx // M) // newest_div).astype(jnp.int8)
+        new_state = ((orig_sel // M) // newest_div).astype(jnp.int8)
         keep = is_interior[:, None]
         # backpointer outputs instead of a (B, M, T) sequence carry: the
         # per-step sequence gather was the scan's dominant memory traffic;
         # frozen (non-interior) tracks record identity parents so the
         # final-slot assignment survives to the end of the scan
-        parent = jnp.where(keep, (idx % M).astype(jnp.int32),
+        parent = jnp.where(keep, orig_sel % M,
                            jax.lax.broadcasted_iota(jnp.int32, (B, M), 1))
         state_out = jnp.where(keep, new_state, newest)
-        m = jnp.where(keep[..., None],
-                      pick(jnp.broadcast_to(new_m[:, None], (B, A, M, D))), m)
-        s2 = jnp.where(keep[..., None], pick(s2_child), s2)
-        lp = jnp.where(keep, pick(lp_child), lp)
-        ll = jnp.where(keep, pick(ll_child), ll)
+        m = jnp.where(keep[..., None], m_new, m)
+        s2 = jnp.where(keep[..., None], s2_new, s2)
+        lp = jnp.where(keep, lp_new, lp)
+        ll = jnp.where(keep, ll_new, ll)
         newest = jnp.where(keep, new_state, newest)
         return (m, s2, lp, ll, newest, w_final), (parent, state_out)
 

@@ -61,11 +61,13 @@ class AutoFitResult:
 
 def auto_fit(all_tracks, dt, nb_states: int = 2, cell_dims=(1.0,),
              input_LocErr=None, verbose: int = 0,
-             n_iterations: int = 2, **kw) -> AutoFitResult:
-    """Coarse fit -> hyper-parameter choice -> refined fit(s)."""
+             n_iterations: int = 2, params=None, **kw) -> AutoFitResult:
+    """Coarse fit -> hyper-parameter choice -> refined fit(s).
+
+    ``params`` seeds the first iteration (warm start); later iterations
+    chain each fit's result."""
     stages = []
     hyper = {"frame_len": 3, "nb_substeps": 1}
-    params = None
     for it in range(n_iterations):
         res = tfit.param_fitting(
             all_tracks, dt, params=params, nb_states=nb_states,
@@ -162,3 +164,54 @@ def model_selection(all_tracks, dt, state_range: Sequence[int] = (2, 3, 4),
     best = min(crit, key=crit.get)
     return ModelSelectionResult(fits=fits, logls=logls, bic=bic, aic=aic,
                                 best_nb_states=best)
+
+
+def _fit_nstates(all_tracks, dt, nb_states, steady_state, cell_dims,
+                 estimated_vals, vary_params, frame_len_pred):
+    """Shared body of fit_2states / fit_3states."""
+    from extrack_tpu import predict as tpredict
+
+    kw = {}
+    if estimated_vals or vary_params:
+        ev = estimated_vals or {}
+        p = tparams.generate_params(
+            nb_states=nb_states,
+            estimated_LocErr=ev.get("LocErr", 0.025),
+            estimated_Ds=[ev.get(f"D{s}", 0.05 * s)
+                          for s in range(nb_states)],
+            estimated_Fs=[ev.get(f"F{s}", 1.0 / nb_states)
+                          for s in range(nb_states)],
+            steady_state=steady_state)
+        for name, vary in (vary_params or {}).items():
+            if name in p:
+                p[name].vary = bool(vary)
+        kw["params"] = p
+    res = auto_fit(all_tracks, dt, nb_states=nb_states,
+                   cell_dims=tuple(cell_dims) if cell_dims else (1.0,),
+                   steady_state=steady_state, **kw)
+    preds = tpredict.predict_Bs(all_tracks, dt, res.result.params,
+                                nb_states=nb_states,
+                                frame_len=frame_len_pred)
+    return res.result, preds
+
+
+def fit_2states(all_tracks, dt, steady_state=True, cell_dims=(),
+                estimated_vals=None, vary_params=None):
+    """Hands-off 2-state fit + state annotation — reference signature
+    (extrack/auto_fitting.py:4-54; broken upstream: it imports a removed
+    API, extrack/__init__.py:4).  Runs the DLR-heuristic auto fit
+    (choose_hyperparams) instead of the reference's 40-round refit loop —
+    exact gradients converge in one L-BFGS run per hyper-parameter choice.
+    Returns (FitResult, preds) like the reference's (model_fit, preds)."""
+    return _fit_nstates(all_tracks, dt, 2, steady_state, cell_dims,
+                        estimated_vals or {}, vary_params,
+                        frame_len_pred=9)
+
+
+def fit_3states(all_tracks, dt, steady_state=True, cell_dims=(),
+                estimated_vals=None, vary_params=None):
+    """Hands-off 3-state fit + annotation (extrack/auto_fitting.py:56-112);
+    see fit_2states."""
+    return _fit_nstates(all_tracks, dt, 3, steady_state, cell_dims,
+                        estimated_vals or {}, vary_params,
+                        frame_len_pred=6)

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from extrack_tpu import data as tdata
+from extrack_tpu.core import gaussian as gaussian_ops
 from extrack_tpu.core.engine import make_register_spec, _moment_match
 from extrack_tpu.core.tables import branch_log_trans, state_codes
 
@@ -683,3 +684,53 @@ def refine_batch(batch: tdata.TrackBatch, LocErr, ds, TrMat,
     mu = np.concatenate(mu_parts)[:B0]
     sigma = np.concatenate(sig_parts)[:B0]
     return mu, sigma, B0
+
+
+# ---------------------------------------------------------------------------
+# Reference-named Gaussian-product helpers (extrack/refined_localization.py:
+# 33-45).  Thin NumPy-facing wrappers over core.gaussian so user scripts
+# that post-process refinement mixtures port unchanged.
+
+def prod_2GaussPDF(sigma1, sigma2, mu1, mu2):
+    """Product of two Gaussian PDFs -> (sigma, mu, log_const); log_const is
+    summed over the trailing spatial axis (refined_localization.py:33-37)."""
+    s, m, lk = gaussian_ops.product_2(jnp.asarray(sigma1),
+                                      jnp.asarray(sigma2),
+                                      jnp.asarray(mu1), jnp.asarray(mu2))
+    return np.asarray(s), np.asarray(m), np.asarray(lk)
+
+
+def prod_3GaussPDF(sigma1, sigma2, sigma3, mu1, mu2, mu3):
+    """Product of three Gaussian PDFs (refined_localization.py:39-43)."""
+    s, m, lk = gaussian_ops.product_3(
+        jnp.asarray(sigma1), jnp.asarray(sigma2), jnp.asarray(sigma3),
+        jnp.asarray(mu1), jnp.asarray(mu2), jnp.asarray(mu3))
+    return np.asarray(s), np.asarray(m), np.asarray(lk)
+
+
+def gaussian(x, sig, mu):
+    """Isotropic Gaussian density, product over the trailing spatial axis
+    (refined_localization.py:45-46)."""
+    x, sig, mu = np.asarray(x), np.asarray(sig), np.asarray(mu)
+    return np.prod(np.exp(-(x - mu) ** 2 / (2 * sig ** 2))
+                   / np.sqrt(2 * np.pi * sig ** 2), axis=-1)
+
+
+def get_pos_PDF_fixedBs(Cs, LocErr, ds, Fs, TrMat, Bs):
+    """Refined (mu, sigma) per position for a KNOWN state sequence —
+    reference signature and single-track return convention
+    (get_pos_PDF_fixedBs, refined_localization.py:483-519): (T, D) means
+    and (T, D) stds for the first track.  ``Fs``/``TrMat`` are accepted
+    for compatibility (the fixed-sequence posterior does not depend on
+    them); ``Bs`` may be (B, T) or the reference's (B, 1, T)."""
+    Cs = jnp.asarray(Cs)
+    B, T, D = Cs.shape
+    Bs = np.asarray(Bs)
+    if Bs.ndim == 3:
+        Bs = Bs[:, 0]
+    mu, sigma = refine_positions_fixed_states(
+        Cs, jnp.full((B,), T, jnp.int32),
+        jnp.asarray(np.asarray(LocErr, float) ** 2),
+        jnp.asarray(np.asarray(ds, float) ** 2),
+        jnp.asarray(Bs, jnp.int32))
+    return np.asarray(mu)[0], np.asarray(sigma)[0]

@@ -541,3 +541,60 @@ def brownian_frames(key, nb_tracks: int, track_len: int, Ds, Fs, tr_mat,
                          jnp.cumsum(disp, axis=1)], axis=1)
     x = r + loc_err * jax.random.normal(k4, r.shape)
     return x, states
+
+
+# ---------------------------------------------------------------------------
+# Reference-named utility API (extrack/simulate_tracks.py:11-54,113-121).
+# Same signatures as the reference so user scripts port unchanged; the
+# implementations ride the package's vectorized primitives.
+
+def get_fractions_from_TrMat(TrMat):
+    """Steady-state occupancies of a transition-probability matrix.
+
+    Reference: extrack/simulate_tracks.py:24-54 (analytic for 2/3 states,
+    power iteration otherwise); here one eigen/solve-based stationary
+    distribution covers every state count.
+    """
+    return np.asarray(stationary_fractions(np.asarray(TrMat, float)))
+
+
+def markovian_process(TrMat, initial_fractions, nb_tracks, track_len,
+                      seed: Optional[int] = None):
+    """State chains of a discrete Markov process, (nb_tracks, track_len) int.
+
+    Reference: extrack/simulate_tracks.py:11-22.  Vectorized over tracks AND
+    time via inverse-CDF sampling on cumulative rows (the reference loops
+    over time with a per-state accumulation); optional ``seed`` for
+    reproducibility.
+    """
+    rng = np.random.default_rng(seed)
+    TrMat = np.asarray(TrMat, float)
+    cum_rows = np.cumsum(TrMat, axis=1)
+    states = np.empty((nb_tracks, track_len), dtype=int)
+    states[:, 0] = np.searchsorted(np.cumsum(np.asarray(initial_fractions)),
+                                   rng.random(nb_tracks), side="right")
+    u = rng.random((nb_tracks, track_len - 1))
+    for k in range(1, track_len):
+        rows = cum_rows[states[:, k - 1]]
+        states[:, k] = (u[:, k - 1:k] >= rows).sum(axis=1)
+    return np.clip(states, 0, len(TrMat) - 1)
+
+
+def is_in_FOV(positions, cell_dims):
+    """Per-position FOV membership mask with a trailing sentinel ``False``.
+
+    Reference: extrack/simulate_tracks.py:113-121 (the sentinel marks the
+    end of the track for the exit-split logic).
+    """
+    positions = np.asarray(positions)
+    in_fov = np.ones(len(positions) + 1, dtype=bool)
+    for i, l in enumerate(cell_dims):
+        if l is not None:
+            cur = (positions[:, i] < l) & (positions[:, i] > 0)
+            in_fov &= np.concatenate([cur, [False]])
+    return in_fov
+
+
+# Reference capitalization (extrack/simulate_tracks.py:56,123)
+sim_FOV = sim_fov
+sim_noBias = sim_nobias

@@ -80,3 +80,103 @@ def cum_Proba_Cs(params, all_tracks, dt, cell_dims, input_LocErr, nb_states,
     if verbose:
         print(out)
     return out
+
+
+def extract_params(params, dt, nb_states, nb_substeps, input_LocErr=None,
+                   Matrix_type=1):
+    """Resolve fit parameters into model arrays — reference signature and
+    return convention (extrack/tracking.py:913-986): ``(LocErr, ds, Fs,
+    TrMat, pBL)`` with ``ds = sqrt(2*D*dt)`` and ``TrMat`` the sub-step
+    transition-probability matrix under the requested ``Matrix_type``
+    discretization.
+
+    ``LocErr`` follows the reference container shapes: a one-element list
+    holding a (1, 1, S_err) array for fitted errors, or the per-peak input
+    list (optionally mapped through slope/offset) when ``input_LocErr`` is
+    given.  ``dt`` may be a scalar or a list of per-step (B, T-1) arrays.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+    values = params.resolve() if isinstance(params, Parameters) else dict(params)
+    # the scalar loc_err slot is unused when per-peak input is given (the
+    # LocErr list below is built from input_LocErr); feed a dummy so
+    # slope/offset-only parameter sets (LocErr_type=4) resolve
+    Ds, Fs, rates, _loc, pBL = extract_arrays(
+        values, nb_states,
+        input_loc_err=1.0 if input_LocErr is not None else None)
+    TrMat = np.asarray(transition_matrix(
+        jnp.asarray(rates), nb_substeps=nb_substeps,
+        matrix_type=Matrix_type))
+    Ds, Fs, pBL = np.asarray(Ds), np.asarray(Fs), float(pBL)
+
+    if input_LocErr is not None:
+        per_peak = (list(input_LocErr.values())
+                    if isinstance(input_LocErr, dict) else list(input_LocErr))
+        if "slope_LocErr" in values:
+            slope = float(values["slope_LocErr"])
+            offset = float(values["offset_LocErr"])
+            LocErr = [np.clip(np.asarray(l) * slope + offset, 1e-6, np.inf)
+                      for l in per_peak]
+        else:
+            LocErr = per_peak
+    else:
+        le = sorted(k for k in values if k.startswith("LocErr"))
+        LocErr = [np.array([float(values[k]) for k in le])[None, None]]
+
+    if isinstance(dt, list):
+        ds = [np.sqrt(2 * Ds[None, None] * np.asarray(t)[:, :, None])
+              for t in dt]
+    else:
+        ds = np.sqrt(2 * Ds * dt)
+    return LocErr, ds, Fs, TrMat, pBL
+
+
+def get_all_Bs(nb_Cs, nb_states):
+    """All state sequences of length ``nb_Cs`` as an integer matrix,
+    (nb_states**nb_Cs, nb_Cs), least-significant position first — reference
+    layout (extrack/tracking.py:746-757)."""
+    import numpy as np
+    ids = np.arange(nb_states ** nb_Cs)
+    return (ids[:, None] // nb_states ** np.arange(nb_Cs)) % nb_states
+
+
+def get_Ts_from_Bs(all_Bs, TrMat):
+    """Log transition probability of each sequence under ``TrMat`` —
+    reference signature (extrack/tracking.py:759-767); ``all_Bs`` may carry
+    any leading batch axes."""
+    import numpy as np
+    all_Bs = np.asarray(all_Bs)
+    lt = np.log(np.asarray(TrMat))
+    return lt[all_Bs[..., :-1], all_Bs[..., 1:]].sum(axis=-1)
+
+
+def ds_froms_states(ds, cur_states):
+    """Per-step displacement std**2 of state sequences: consecutive sub-step
+    variances averaged (transition mid-step), then averaged over the
+    sequence axis — reference semantics (extrack/tracking.py:58-65).
+    Returns (..., 1) like the reference's trailing spatial axis."""
+    import numpy as np
+    d2 = np.asarray(ds)[np.asarray(cur_states)] ** 2
+    d2 = (d2[..., 1:] + d2[..., :-1]) / 2.0
+    return d2.mean(axis=-1)[..., None]
+
+
+def log_integrale_dif(Ci, l2, cur_d2s, m_arr, s2_arr):
+    """One Gaussian-marginalization step — reference signature
+    (extrack/tracking.py:76-98); returns (new_m, new_s2, log_const) with the
+    constant summed over the trailing spatial axis."""
+    import jax.numpy as jnp
+    from extrack_tpu.core import gaussian as g
+    new_m, new_s2, log_c = g.propagate(
+        jnp.asarray(Ci), jnp.asarray(l2), jnp.asarray(cur_d2s),
+        jnp.asarray(m_arr), jnp.asarray(s2_arr))
+    return new_m, new_s2, log_c
+
+
+def first_log_integrale_dif(Ci, l2, cur_d2s):
+    """First-step convolution under a flat prior — reference signature
+    (extrack/tracking.py:101-107); returns (m_arr, s2_arr)."""
+    import jax.numpy as jnp
+    from extrack_tpu.core import gaussian as g
+    return g.first_convolve(jnp.asarray(Ci), jnp.asarray(l2),
+                            jnp.asarray(cur_d2s))

@@ -1,0 +1,82 @@
+"""Microbenchmark: value_and_grad throughput of the fit objective.
+
+The fit driver's hot call is one jitted value_and_grad of the bucketed
+Pallas objective per optimizer evaluation (fit.py).  This measures it on
+the bench.py configuration (2-state, T=10, window 6, 1M tracks, lengths
+3..10 length-bucketed) so kernel changes to ops/pallas_grad.py can be
+attributed directly.
+
+Usage: PYTHONPATH=/root/.axon_site:. python benchmarks/grad_bench.py
+Prints one JSON line {"fwd_tracks_per_s", "vg_tracks_per_s", ...}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+B, T, D, W, S = 1 << 20, 10, 2, 6, 2
+MIN_LEN = 3
+
+
+def main():
+    from extrack_tpu import data as tdata, fit, params as tparams, simulate
+
+    dtype = jnp.float32
+    key = jax.random.PRNGKey(0)
+    xs, _ = simulate.brownian_frames(key, B, T, jnp.asarray([0.0, 0.08]),
+                                     jnp.asarray([0.5, 0.5]),
+                                     jnp.asarray([[0.9, 0.1], [0.1, 0.9]]),
+                                     0.02, 0.02, D)
+    rng = np.random.default_rng(1)
+    lengths = rng.integers(MIN_LEN, T + 1, B).astype(np.int32)
+    xs_np = np.asarray(xs.astype(dtype))
+    tracks = {str(L): xs_np[lengths == L][:, :L]
+              for L in np.unique(lengths)}
+    batches = tdata.from_dict_bucketed(tracks, max_buckets=8, dtype=dtype)
+
+    spec = tparams.generate_params(nb_states=2, LocErr_type=1, D_max=1.0,
+                                   estimated_Ds=[0.001, 0.05])
+    obj = fit.make_objective(batches, spec, 0.02, 2, cell_dims=(0.5,),
+                             window=W, min_len=MIN_LEN)
+    data = jax.device_put(obj.batches)
+    z0 = jnp.asarray(spec.to_unconstrained(), dtype)
+
+    f_only = jax.jit(obj)
+    vg = jax.jit(jax.value_and_grad(obj))
+
+    t0 = time.perf_counter()
+    f_only(z0, data).block_until_ready()
+    fwd_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.block_until_ready(vg(z0, data))
+    vg_compile = time.perf_counter() - t0
+
+    def best_of(fn, rounds=3, reps=5):
+        best = np.inf
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                jax.block_until_ready(fn(z0, data))
+            best = min(best, (time.perf_counter() - t0) / reps)
+        return best
+
+    dt_f = best_of(f_only)
+    dt_vg = best_of(vg)
+    print(json.dumps({
+        "fwd_tracks_per_s": round(B / dt_f, 1),
+        "vg_tracks_per_s": round(B / dt_vg, 1),
+        "fwd_s": round(dt_f, 4), "vg_s": round(dt_vg, 4),
+        "fwd_compile_s": round(fwd_compile, 1),
+        "vg_compile_s": round(vg_compile, 1),
+        "uses_pallas": obj.uses_pallas,
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -60,21 +60,36 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
             [jnp.broadcast_to(r, (reps, rows[0].shape[-1])) for r in rows],
             axis=0)
 
+    cl2pi = float(0.5 * D * np.log(2 * np.pi))
+
     def step(carry, x, l2, x_n, l2_n, t, lengths, isbl, ltv, lsv, endv,
              s2v, ltn, s2n, lsn, endn, sig2_t=None):
         m, s2, lp, acc = carry
         if per_step:
             s2v = expand([sig2_t[p:p + 1] for p in range(P)], Q)
-        lc = jnp.zeros(lp.shape, lp.dtype)
+        # per-step Gaussian normalizers ride as rsqrt factors into the
+        # fusion's exp-sum (their 2*pi constants are folded into ltv by the
+        # wrapper) — same log-free fusion scheme as pallas_engine._kernel
+        prod = jnp.ones(lp.shape, lp.dtype)
+        quad = jnp.zeros(lp.shape, lp.dtype)
         new_m, tail = [], []
         for d in range(D):
             tot = l2[d] + s2[d]
-            inv = 1.0 / tot
+            rt = jax.lax.rsqrt(tot)
+            inv = rt * rt
             diff = x[d] - m[d]
-            lc = lc + (-0.5 * jnp.log(2 * np.pi * tot)
-                       - 0.5 * diff * diff * inv)
+            prod = prod * tot
+            quad = quad + 0.5 * diff * diff * inv
             new_m.append((m[d] * l2[d] + x[d] * s2[d]) * inv)
             tail.append(l2[d] * s2[d] * inv)
+
+        # one log per step covers both closings (their 2*pi constant stays
+        # explicit here; the fusion's is folded into ltv by the wrapper).
+        # NOTE: cond-gating these closings (as pallas_engine does) fails
+        # Mosaic legalization under the in-kernel jax.vjp — the linearized
+        # lax.cond lowers to a many-result vector scf.if — so the grad
+        # kernel keeps them where-masked and unconditional.
+        lc = -0.5 * jnp.log(prod) - quad - cl2pi
 
         # 2-frame tracks close here; longer tracks close one step early on
         # the pre-fusion children (reference's skipped last-step fusion)
@@ -84,9 +99,10 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
         acc = acc + jnp.where(((t == lengths - 1) & (lengths == 2))[None, :],
                               lse, 0.0)
 
-        # per-child Gaussian normalizers enter as rsqrt factors on the exp
-        # side (one log for the whole look-ahead; see pallas_engine)
         gate = jnp.where(t + 1 >= min_len, 1.0, 0.0).astype(lp.dtype)
+
+        # look-ahead closing: per-child Gaussian normalizers enter as rsqrt
+        # factors on the exp side (one log for the whole look-ahead)
         base_n = lp + lc
         gs, rs = [], []
         mx_n = jnp.full((1, lp.shape[1]), -jnp.inf, lp.dtype)
@@ -99,9 +115,10 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
             for d in range(D):
                 totn = (s2n_a if per_step
                         else s2n[:, a:a + 1]) + tail[d] + l2_n[d]
+                rn = jax.lax.rsqrt(totn)
                 diffn = x_n[d] - new_m[d]
                 prod_n = prod_n * (2 * np.pi * totn)
-                quad_n = quad_n + 0.5 * diffn * diffn / totn
+                quad_n = quad_n + 0.5 * diffn * diffn * (rn * rn)
             g = (base_n + ltn[:, a:a + 1] + gate * lsn[:, a:a + 1]
                  + isbl * endn[:, a:a + 1] - quad_n)
             gs.append(g)
@@ -115,9 +132,15 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
         acc = acc + jnp.where((t == lengths - 2)[None, :],
                               mx_n + jnp.log(sum_n), 0.0)
 
-        score3 = (lp + lc).reshape(G, A, -1)
-        mxs = jax.lax.stop_gradient(jnp.max(score3, axis=1))
-        w = [jnp.exp(score3[:, o] - mxs) for o in range(A)]
+        # fuse: shift by max(lp - quad) (exp args <= 0, rsqrt factors
+        # bounded — see pallas_engine._kernel for the stability argument)
+        base3 = (lp - quad).reshape(G, A, -1)
+        rq3 = jax.lax.rsqrt(prod).reshape(G, A, -1)
+        mxs = base3[:, 0]
+        for o in range(1, A):
+            mxs = jnp.maximum(mxs, base3[:, o])
+        mxs = jax.lax.stop_gradient(mxs)
+        w = [jnp.exp(base3[:, o] - mxs) * rq3[:, o] for o in range(A)]
         sw = w[0]
         for o in range(1, A):
             sw = sw + w[o]
@@ -460,6 +483,10 @@ def neg_log_likelihood(positions, lengths, is_bleached, tables: ModelTables,
 
     lp0, s20, lt, lsurv, end, sig2v = [
         v.astype(f32)[:, None] for v in build_slot_tables(tables, W, n)]
+    # the kernel drops the per-step 2*pi normalizer constants; every fusion
+    # adds lt, so the per-fusion constant folds here (exact; a constant
+    # shift leaves lt's cotangent unchanged)
+    lt = lt - f32(0.5 * D * np.log(2 * np.pi))
     ltn, s2n, lsn, endn = [v.astype(f32)
                            for v in build_next_tables(tables, W, n)]
     # s20 and sig2v come from the same table; passing the same traced array

@@ -129,10 +129,13 @@ def make_objective(batch,
                     compute_engine="pallas" if use_pallas else "xla")
             elif use_pallas:
                 from extrack_tpu.ops import pallas_grad
+                nl = getattr(b, "np_lengths", None)
                 total = total - pallas_grad.neg_log_likelihood(
                     b.positions, b.lengths, b.is_bleached, tb,
                     window=window, nb_substeps=nb_substeps,
-                    min_len=min_len, block=256)
+                    min_len=min_len, block=256,
+                    has_len2=bool((np.asarray(nl) == 2).any())
+                    if nl is not None else True)
             else:
                 total = total + jnp.sum(engine.forward(
                     b.positions, b.lengths, b.is_bleached, tb,
@@ -153,7 +156,10 @@ def make_objective(batch,
         spec.trace_signature(), dt_sig, nb_states, tuple(cell_dims),
         nb_substeps, window, min_len, matrix_type, bool(input_loc_err),
         bool(sharded), None if mesh is None else len(mesh.devices.ravel()),
-        tuple(pallas_batches), jax.default_backend())
+        tuple(pallas_batches), jax.default_backend(),
+        tuple(bool((np.asarray(b.np_lengths) == 2).any())
+              if getattr(b, "np_lengths", None) is not None else True
+              for b in batches))
     return neg_logl
 
 

@@ -43,13 +43,21 @@ INTERPRET = False
 
 
 def _make_step(D, K, A, G, min_len, S=0, P=0):
-    """Pure per-frame update shared by the in-kernel forward and backward.
+    """Per-frame update pieces shared by the in-kernel forward and backward.
 
-    carry: (m (D,K,BLK), s2 (D,K,BLK), lp (K,BLK), acc (1,BLK)).
-    Mirrors ops/pallas_engine._kernel's body exactly.  With S/P > 0
-    (variable dt) ``sig2_t`` is the (P, BLK) displacement-variance rows of
-    step t (pattern p = n+1 newest sub-states) and replaces the constant
-    ``s2v``/``s2n`` tables.
+    carry: (m (D,K,BLK), s2 (D,K,BLK), lp (K,BLK)); acc (1,BLK) is
+    accumulated by the closings only.  Mirrors ops/pallas_engine._kernel's
+    body exactly.  With S/P > 0 (variable dt) ``sig2_t`` is the (P, BLK)
+    displacement-variance rows of step t (pattern p = n+1 newest
+    sub-states) and replaces the constant ``s2v``/``s2n`` tables.
+
+    The pieces are separable so the closings can be lax.cond-gated: with
+    length-sorted batches each closing fires on one scan step per block,
+    and the backward walk can skip their (expensive) pullback replay on
+    every other step.  The conds are always PRIMAL — the backward takes
+    jax.vjp of each piece separately and gates the closing pullbacks with
+    its own cond (differentiating *through* lax.cond lowers to a
+    many-result vector scf.if that Mosaic cannot legalize).
     """
     per_step = P > 0
     Q = K // P if per_step else 0
@@ -62,14 +70,9 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
 
     cl2pi = float(0.5 * D * np.log(2 * np.pi))
 
-    def step(carry, x, l2, x_n, l2_n, t, lengths, isbl, ltv, lsv, endv,
-             s2v, ltn, s2n, lsn, endn, sig2_t=None):
-        m, s2, lp, acc = carry
-        if per_step:
-            s2v = expand([sig2_t[p:p + 1] for p in range(P)], Q)
-        # per-step Gaussian normalizers ride as rsqrt factors into the
-        # fusion's exp-sum (their 2*pi constants are folded into ltv by the
-        # wrapper) — same log-free fusion scheme as pallas_engine._kernel
+    def prep(m, s2, lp, x, l2):
+        """Gaussian look-ahead update: normalizer product, quadratic form,
+        posterior means and variance tails for every register slot."""
         prod = jnp.ones(lp.shape, lp.dtype)
         quad = jnp.zeros(lp.shape, lp.dtype)
         new_m, tail = [], []
@@ -82,27 +85,29 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
             quad = quad + 0.5 * diff * diff * inv
             new_m.append((m[d] * l2[d] + x[d] * s2[d]) * inv)
             tail.append(l2[d] * s2[d] * inv)
+        return prod, quad, new_m, tail
 
-        # one log per step covers both closings (their 2*pi constant stays
-        # explicit here; the fusion's is folded into ltv by the wrapper).
-        # NOTE: cond-gating these closings (as pallas_engine does) fails
-        # Mosaic legalization under the in-kernel jax.vjp — the linearized
-        # lax.cond lowers to a many-result vector scf.if — so the grad
-        # kernel keeps them where-masked and unconditional.
+    def close_l2(m, s2, lp, x, l2, t, lengths, isbl, endv):
+        """2-frame tracks close here; longer tracks close one step early
+        on the pre-fusion children (reference's skipped last-step
+        fusion)."""
+        prod, quad, _, _ = prep(m, s2, lp, x, l2)
         lc = -0.5 * jnp.log(prod) - quad - cl2pi
-
-        # 2-frame tracks close here; longer tracks close one step early on
-        # the pre-fusion children (reference's skipped last-step fusion)
         fin = lp + isbl * endv + lc
         mx = jax.lax.stop_gradient(jnp.max(fin, axis=0, keepdims=True))
-        lse = mx + jnp.log(jnp.sum(jnp.exp(fin - mx), axis=0, keepdims=True))
-        acc = acc + jnp.where(((t == lengths - 1) & (lengths == 2))[None, :],
-                              lse, 0.0)
+        lse = mx + jnp.log(jnp.sum(jnp.exp(fin - mx), axis=0,
+                                   keepdims=True))
+        return jnp.where(((t == lengths - 1) & (lengths == 2))[None, :],
+                         lse, 0.0)
 
+    def close_look(m, s2, lp, x, l2, x_n, l2_n, t, lengths, isbl,
+                   ltn, s2n, lsn, endn, sig2_t=None):
+        """Look-ahead closing: per-child Gaussian normalizers enter as
+        rsqrt factors on the exp side (one log for the whole
+        look-ahead)."""
+        prod, quad, new_m, tail = prep(m, s2, lp, x, l2)
+        lc = -0.5 * jnp.log(prod) - quad - cl2pi
         gate = jnp.where(t + 1 >= min_len, 1.0, 0.0).astype(lp.dtype)
-
-        # look-ahead closing: per-child Gaussian normalizers enter as rsqrt
-        # factors on the exp side (one log for the whole look-ahead)
         base_n = lp + lc
         gs, rs = [], []
         mx_n = jnp.full((1, lp.shape[1]), -jnp.inf, lp.dtype)
@@ -129,11 +134,20 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
         for g, r in zip(gs, rs):
             sum_n = sum_n + jnp.sum(jnp.exp(g - mx_n) * r, axis=0,
                                     keepdims=True)
-        acc = acc + jnp.where((t == lengths - 2)[None, :],
-                              mx_n + jnp.log(sum_n), 0.0)
+        return jnp.where((t == lengths - 2)[None, :],
+                         mx_n + jnp.log(sum_n), 0.0)
 
-        # fuse: shift by max(lp - quad) (exp args <= 0, rsqrt factors
-        # bounded — see pallas_engine._kernel for the stability argument)
+    def interior(m, s2, lp, x, l2, t, lengths, ltv, lsv, s2v, sig2_t=None):
+        """Fuse + update: per-step Gaussian normalizers ride as rsqrt
+        factors into the fusion's exp-sum (their 2*pi constants are folded
+        into ltv by the wrapper) — same log-free scheme as
+        pallas_engine._kernel; shift by max(lp - quad) (exp args <= 0,
+        rsqrt factors bounded)."""
+        if per_step:
+            s2v = expand([sig2_t[p:p + 1] for p in range(P)], Q)
+        prod, quad, new_m, tail = prep(m, s2, lp, x, l2)
+        gate = jnp.where(t + 1 >= min_len, 1.0, 0.0).astype(lp.dtype)
+
         base3 = (lp - quad).reshape(G, A, -1)
         rq3 = jax.lax.rsqrt(prod).reshape(G, A, -1)
         mxs = base3[:, 0]
@@ -165,9 +179,9 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
                                     s2[d]))
         lp_new = _tile(lp_f, A) + ltv + gate * lsv
         lp_out = jnp.where(keep, lp_new, lp)
-        return (jnp.stack(m_out), jnp.stack(s2_out), lp_out, acc)
+        return (jnp.stack(m_out), jnp.stack(s2_out), lp_out)
 
-    return step
+    return prep, close_l2, close_look, interior
 
 
 def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
@@ -177,11 +191,12 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
                  ct_lsv_ref, ct_endv_ref, ct_s2v_ref, ct_ltn_ref,
                  ct_s2n_ref, ct_lsn_ref, ct_endn_ref, ct_s2s_ref,
                  mh, s2h, lph,
-                 *, T, D, K, A, G, BLK, min_len, S=0, P=0):
+                 *, T, D, K, A, G, BLK, min_len, S=0, P=0, has_len2=True):
     lengths = len_ref[0, :].astype(jnp.int32)
     isbl = isbl_ref[0, :][None, :]
     per_step = P > 0
-    step = _make_step(D, K, A, G, min_len, S=S, P=P)
+    prep, close_l2, close_look, interior = _make_step(D, K, A, G, min_len,
+                                                      S=S, P=P)
     ltv, lsv, endv, s2v = (ltv_ref[:], lsv_ref[:], endv_ref[:], s2v_ref[:])
     ltn, s2n, lsn, endn = (ltn_ref[:], s2n_ref[:], lsn_ref[:], endn_ref[:])
 
@@ -216,15 +231,42 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
     lp = jnp.broadcast_to(lp0_ref[:], (K, BLK))
     acc = jnp.zeros((1, BLK), jnp.float32)
 
+    any2 = jnp.any(lengths == 2)
+    # scalar firing bounds for the look-ahead closing: per-step vector
+    # compare+reduce predicates cost real VPU time; t in [lmin-2, lmax-2]
+    # is an exact cover for sorted same-length blocks and a conservative
+    # one for mixed blocks (a spurious fire computes a fully-masked zero)
+    lmax = jnp.max(lengths)
+    lminp = jnp.min(jnp.where(lengths > 0, lengths, T + 2))
+
+    def zero_row(_):
+        return jnp.zeros((1, BLK), jnp.float32)
+
     def fwd_body(t, carry):
         m, s2, lp, acc = carry
         mh[pl.ds(t - 1, 1)] = m[None]
         s2h[pl.ds(t - 1, 1)] = s2[None]
         lph[pl.ds(t - 1, 1)] = lp[None]
-        return step(carry, read_td(xs_ref, t), read_td(l2_ref, t),
-                    read_next(xs_ref, t), read_next(l2_ref, t), t,
-                    lengths, isbl, ltv, lsv, endv, s2v, ltn, s2n, lsn, endn,
-                    sig2_t=read_sig2(t))
+        x = read_td(xs_ref, t)
+        l2 = read_td(l2_ref, t)
+        sig2_t = read_sig2(t)
+        # closings are cond-gated: with length-sorted batches each fires
+        # on one scan step per block (same scheme as pallas_engine)
+        if has_len2:
+            acc = acc + jax.lax.cond(
+                (t == 1) & any2,
+                lambda _: close_l2(m, s2, lp, x, l2, t, lengths, isbl,
+                                   endv),
+                zero_row, None)
+        acc = acc + jax.lax.cond(
+            (t >= lminp - 2) & (t <= lmax - 2),
+            lambda _: close_look(m, s2, lp, x, l2, read_next(xs_ref, t),
+                                 read_next(l2_ref, t), t, lengths, isbl,
+                                 ltn, s2n, lsn, endn, sig2_t),
+            zero_row, None)
+        m, s2, lp = interior(m, s2, lp, x, l2, t, lengths, ltv, lsv, s2v,
+                             sig2_t)
+        return (m, s2, lp, acc)
 
     m, s2, lp, acc = jax.lax.fori_loop(1, T, fwd_body, (m, s2, lp, acc))
     logl_ref[:] = acc
@@ -233,62 +275,119 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
         ((T - 1) * P, BLK) if per_step else (1, 1), jnp.float32)
 
     # ---- backward: per-step pullbacks -------------------------------------
+    # Each step's pullback is split: the interior (fuse + update) replays
+    # every step, the two closings' pullbacks are lax.cond-gated exactly
+    # like the forward (each fires once per sorted block).  The conds are
+    # primal — jax.vjp runs INSIDE the taken branch; differentiating
+    # through lax.cond itself is what Mosaic cannot legalize.
     zK = jnp.zeros((K, 1), jnp.float32)
     zKA = jnp.zeros((K, A), jnp.float32)
+    zDK = jnp.zeros((D, K, BLK), jnp.float32)
+    zKB = jnp.zeros((K, BLK), jnp.float32)
+    zD1 = jnp.zeros((D, 1, BLK), jnp.float32)
     ones_acc = jnp.ones((1, BLK), jnp.float32)
 
     def bwd_body(i, ct):
         t = T - 1 - i
         (ct_m, ct_s2, ct_lp, ct_ltv, ct_lsv, ct_endv, ct_s2v,
          ct_ltn, ct_s2n, ct_lsn, ct_endn) = ct
-        carry_t = (mh[pl.ds(t - 1, 1)][0], s2h[pl.ds(t - 1, 1)][0],
-                   lph[pl.ds(t - 1, 1)][0],
-                   jnp.zeros((1, BLK), jnp.float32))
+        c3 = (mh[pl.ds(t - 1, 1)][0], s2h[pl.ds(t - 1, 1)][0],
+              lph[pl.ds(t - 1, 1)][0])
         x = read_td(xs_ref, t)
         l2 = read_td(l2_ref, t)
-        x_n = read_next(xs_ref, t)
-        l2_n = read_next(l2_ref, t)
         sig2_t = read_sig2(t)
 
         if per_step:
-            def f(carry, l2_, l2n_, ltv_, lsv_, endv_, s2v_, ltn_, s2n_,
-                  lsn_, endn_, sig2_t_):
-                return step(carry, x, l2_, x_n, l2n_, t, lengths, isbl,
-                            ltv_, lsv_, endv_, s2v_, ltn_, s2n_, lsn_,
-                            endn_, sig2_t=sig2_t_)
+            def fi(c3_, l2_, ltv_, lsv_, s2v_, sg_):
+                return interior(c3_[0], c3_[1], c3_[2], x, l2_, t, lengths,
+                                ltv_, lsv_, s2v_, sg_)
 
-            _, pull = jax.vjp(f, carry_t, l2, l2_n, ltv, lsv, endv, s2v,
-                              ltn, s2n, lsn, endn, sig2_t)
-            (d_carry, d_l2, d_l2n, d_ltv, d_lsv, d_endv, d_s2v, d_ltn,
-             d_s2n, d_lsn, d_endn, d_s2s) = pull((ct_m, ct_s2, ct_lp,
-                                                  ones_acc))
+            _, pull = jax.vjp(fi, c3, l2, ltv, lsv, s2v, sig2_t)
+            (d_c3, d_l2, d_ltv, d_lsv, d_s2v,
+             d_sg) = pull((ct_m, ct_s2, ct_lp))
+        else:
+            def fi(c3_, l2_, ltv_, lsv_, s2v_):
+                return interior(c3_[0], c3_[1], c3_[2], x, l2_, t, lengths,
+                                ltv_, lsv_, s2v_)
+
+            _, pull = jax.vjp(fi, c3, l2, ltv, lsv, s2v)
+            d_c3, d_l2, d_ltv, d_lsv, d_s2v = pull((ct_m, ct_s2, ct_lp))
+
+        if has_len2:
+            def pull_l2(_):
+                def f2(c3_, l2_, endv_):
+                    return close_l2(c3_[0], c3_[1], c3_[2], x, l2_, t,
+                                    lengths, isbl, endv_)
+
+                _, pc = jax.vjp(f2, c3, l2, endv)
+                return pc(ones_acc)
+
+            def zero_l2(_):
+                return ((zDK, zDK, zKB), zD1, zK)
+
+            d2_c3, d2_l2, d_endv = jax.lax.cond((t == 1) & any2,
+                                                pull_l2, zero_l2, None)
+        else:
+            d2_c3, d2_l2, d_endv = (zDK, zDK, zKB), zD1, zK
+
+        if per_step:
+            def pull_look(_):
+                def fL(c3_, l2_, l2n_, ltn_, s2n_, lsn_, endn_, sg_):
+                    return close_look(c3_[0], c3_[1], c3_[2], x, l2_,
+                                      read_next(xs_ref, t),
+                                      l2n_, t, lengths, isbl, ltn_, s2n_,
+                                      lsn_, endn_, sg_)
+
+                _, pc = jax.vjp(fL, c3, l2, read_next(l2_ref, t), ltn,
+                                s2n, lsn, endn, sig2_t)
+                return pc(ones_acc)
+
+            def zero_look(_):
+                return ((zDK, zDK, zKB), zD1, zD1, zKA, zKA, zKA, zKA,
+                        jnp.zeros((P, BLK), jnp.float32))
+
+            (dL_c3, dL_l2, d_l2n, d_ltn, d_s2n, d_lsn, d_endn,
+             dL_sg) = jax.lax.cond((t >= lminp - 2) & (t <= lmax - 2),
+                                   pull_look, zero_look, None)
             # t = T-1 clamps onto row T-2's slice; its update is fully
             # masked (no lane is interior or closing there) so += is exact.
-            # Per-row dynamic stores for the same 8-sublane alignment reason
-            # as read_sig2.
+            # Per-row dynamic stores for the same 8-sublane alignment
+            # reason as read_sig2.
+            d_s2s = d_sg + dL_sg
             tc = jnp.minimum(t, T - 2)
             for p in range(P):
                 ct_s2s_ref[pl.ds(tc * P + p, 1), :] += d_s2s[p:p + 1]
         else:
-            def f(carry, l2_, l2n_, ltv_, lsv_, endv_, s2v_, ltn_, s2n_,
-                  lsn_, endn_):
-                return step(carry, x, l2_, x_n, l2n_, t, lengths, isbl,
-                            ltv_, lsv_, endv_, s2v_, ltn_, s2n_, lsn_,
-                            endn_)
+            def pull_look(_):
+                def fL(c3_, l2_, l2n_, ltn_, s2n_, lsn_, endn_):
+                    return close_look(c3_[0], c3_[1], c3_[2], x, l2_,
+                                      read_next(xs_ref, t),
+                                      l2n_, t, lengths, isbl, ltn_, s2n_,
+                                      lsn_, endn_)
 
-            _, pull = jax.vjp(f, carry_t, l2, l2_n, ltv, lsv, endv, s2v,
-                              ltn, s2n, lsn, endn)
-            (d_carry, d_l2, d_l2n, d_ltv, d_lsv, d_endv, d_s2v, d_ltn,
-             d_s2n, d_lsn, d_endn) = pull((ct_m, ct_s2, ct_lp, ones_acc))
+                _, pc = jax.vjp(fL, c3, l2, read_next(l2_ref, t), ltn,
+                                s2n, lsn, endn)
+                return pc(ones_acc)
+
+            def zero_look(_):
+                return ((zDK, zDK, zKB), zD1, zD1, zKA, zKA, zKA, zKA)
+
+            (dL_c3, dL_l2, d_l2n, d_ltn, d_s2n, d_lsn,
+             d_endn) = jax.lax.cond((t >= lminp - 2) & (t <= lmax - 2),
+                                    pull_look, zero_look, None)
+
         # row t is set here; the l2_{t+1} cotangent adds to row t+1, which
         # iteration t+1 (already executed — the walk is descending) set
+        d_l2_t = d_l2 + d2_l2 + dL_l2
         tn = jnp.minimum(t + 1, T - 1)
         for d in range(D):
-            ct_l2_ref[pl.ds(t * D + d, 1), :] = d_l2[d]
+            ct_l2_ref[pl.ds(t * D + d, 1), :] = d_l2_t[d]
         for d in range(D):
             ct_l2_ref[pl.ds(tn * D + d, 1), :] += jnp.where(
                 t + 1 <= T - 1, d_l2n[d], 0.0)
-        return (d_carry[0], d_carry[1], d_carry[2],
+        return (d_c3[0] + d2_c3[0] + dL_c3[0],
+                d_c3[1] + d2_c3[1] + dL_c3[1],
+                d_c3[2] + d2_c3[2] + dL_c3[2],
                 ct_ltv + d_ltv, ct_lsv + d_lsv, ct_endv + d_endv,
                 ct_s2v + d_s2v, ct_ltn + d_ltn, ct_s2n + d_s2n,
                 ct_lsn + d_lsn, ct_endn + d_endn)
@@ -348,11 +447,12 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
 
 def _grad_call(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
                s2v, ltn, s2n, lsn, endn, sig2s):
-    T, D, K, A, G, BLK, min_len, S, P = static
+    T, D, K, A, G, BLK, min_len, S, P, has_len2 = static
     per_step = P > 0
     Bp = xs.shape[1]
     kernel = functools.partial(_grad_kernel, T=T, D=D, K=K, A=A, G=G,
-                               BLK=BLK, min_len=min_len, S=S, P=P)
+                               BLK=BLK, min_len=min_len, S=S, P=P,
+                               has_len2=has_len2)
     track_spec = pl.BlockSpec((T * D, BLK), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, BLK), lambda i: (0, i),
@@ -453,13 +553,19 @@ def supports(T: int, D: int, nb_states: int, window: int,
 
 def neg_log_likelihood(positions, lengths, is_bleached, tables: ModelTables,
                        *, window: int = 6, nb_substeps: int = 1,
-                       min_len: int = 3, block: int = 256):
+                       min_len: int = 3, block: int = 256,
+                       has_len2: bool = True):
     """-sum logL, differentiable w.r.t. the model tables and loc errors,
     with both passes as VMEM-resident Pallas kernels.
 
     Variable dt rides along as a lane-sharded ((T-1)*P, B) displacement-
     variance stream (differentiable — its cotangent flows back to Ds/dt
-    through the stream construction)."""
+    through the stream construction).
+
+    ``has_len2=False`` statically removes the 2-frame-track closing from
+    both passes; callers that know the dataset host-side (fit objectives
+    check the cached np_lengths) set it so the common no-2-frame case pays
+    one gated closing per step instead of two."""
     B, T, D = positions.shape
     S = tables.nb_states
     W, n = window, nb_substeps
@@ -515,7 +621,7 @@ def neg_log_likelihood(positions, lengths, is_bleached, tables: ModelTables,
     isbl = is_bleached.astype(f32)[None, :]
 
     static = (T, D, K, A, G, BLK, min_len,
-              S if per_step else 0, P if per_step else 0)
+              S if per_step else 0, P if per_step else 0, bool(has_len2))
     return _neg_logl(static, xs, l2, lengths_f, isbl,
                      lp0, sig2v, lt, lsurv, end, sig2v,
                      ltn, s2n, lsn, endn, sig2s)

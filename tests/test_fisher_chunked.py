@@ -64,7 +64,14 @@ def test_hessian_fd_matches_ad():
 
 def test_fit_errors_via_pallas_fd_path():
     """compute_errors with the Pallas objective uses FD-of-gradients and
-    agrees with the XLA second-order path."""
+    agrees with the XLA second-order path AT A COMMON OPTIMUM.
+
+    Two independent fits land at minutely different optima (f32 kernel
+    rounding perturbs the optimizer path), and near-boundary parameters
+    (true D0 = 0 here) have curvature sensitive enough that comparing the
+    errors of two separate fits conflates optimizer drift with FD error —
+    so the tight comparison pins both error paths to the XLA fit's z*."""
+    import jax
     from extrack_tpu import fit as tfit, params as tparams, simulate
     from extrack_tpu.ops import pallas_grad
 
@@ -77,19 +84,41 @@ def test_fit_errors_via_pallas_fd_path():
     batch = tdata.from_dict(tracks)
     spec = tparams.generate_params(nb_states=2, D_max=1.0,
                                    estimated_Ds=[0.001, 0.08])
+    # end-to-end: the Pallas FD path produces finite positive errors
     old = pallas_grad.INTERPRET
     pallas_grad.INTERPRET = True
     try:
         r_pl = tfit.fit(batch, spec, 0.02, 2, cell_dims=(0.5,), window=5,
                         compute_errors=True, compute_engine="pallas",
                         max_iter=40)
+        assert r_pl.std_errors
+        assert all(np.isfinite(v) and v > 0
+                   for v in r_pl.std_errors.values()), r_pl.std_errors
+
+        # common-point comparison: FD of Pallas gradients vs the exact
+        # XLA Hessian at the XLA fit's optimum
+        r_xla = tfit.fit(batch, spec, 0.02, 2, cell_dims=(0.5,),
+                         window=5, compute_errors=True,
+                         compute_engine="xla", max_iter=40)
+        z = jnp.asarray(r_xla.params.to_unconstrained())
+        obj_x = tfit.make_objective(batch, spec, 0.02, 2,
+                                    cell_dims=(0.5,), window=5,
+                                    compute_engine="xla")
+        obj_p = tfit.make_objective(batch, spec, 0.02, 2,
+                                    cell_dims=(0.5,), window=5,
+                                    compute_engine="pallas")
+        data_x = jax.device_put(obj_x.batches)
+        data_p = jax.device_put(obj_p.batches)
+        H_ad = np.asarray(jax.hessian(lambda zz: obj_x(zz, data_x))(z))
+        gp = jax.jit(jax.grad(lambda zz: obj_p(zz, data_p)))
+        H_fd = tfit.hessian_fd_from_gradients(gp, z)
     finally:
         pallas_grad.INTERPRET = old
-    r_xla = tfit.fit(batch, spec, 0.02, 2, cell_dims=(0.5,), window=5,
-                     compute_errors=True, compute_engine="xla",
-                     max_iter=40)
-    assert r_pl.std_errors and r_xla.std_errors
-    for k, v in r_xla.std_errors.items():
-        assert np.isfinite(r_pl.std_errors[k])
+    e_ad = tfit.fisher_errors_from_hessian(H_ad, r_xla.params,
+                                           np.asarray(z))
+    e_fd = tfit.fisher_errors_from_hessian(H_fd, r_xla.params,
+                                           np.asarray(z))
+    for k, v in e_ad.items():
+        assert np.isfinite(e_fd[k])
         if v > 1e-8:
-            assert abs(r_pl.std_errors[k] - v) / v < 0.05, (k, v)
+            assert abs(e_fd[k] - v) / v < 0.02, (k, v, e_fd[k])

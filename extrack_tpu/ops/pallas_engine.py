@@ -157,6 +157,13 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
     # the transition table by the wrapper (ltv -= D/2*log(2pi) per fusion)
     cl2pi = float(0.5 * D * np.log(2 * np.pi))
 
+    # loop-invariant closing predicates: scalar length bounds replace the
+    # per-step vector compare+reduce (exact for sorted same-length blocks,
+    # conservative for mixed ones — a spurious fire is fully masked)
+    any2 = jnp.any(lengths == 2)
+    lmax = jnp.max(lengths)
+    lminp = jnp.min(jnp.where(lengths > 0, lengths, T + 2))
+
     def body(t, acc):
         lp = lp_sc[:]
         prod = jnp.ones((K, BLK), jnp.float32)
@@ -190,7 +197,7 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
                               & (lengths == 2))[None, :], lse, 0.0)
 
         acc = acc + jax.lax.cond(
-            (t == 1) & jnp.any(lengths == 2), close_l2,
+            (t == 1) & any2, close_l2,
             lambda _: jnp.zeros((1, BLK), jnp.float32), None)
 
         # look-ahead closing: tracks ending at frame t+1.  The per-child
@@ -239,7 +246,7 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
             return jnp.where((t == lengths - 2)[None, :], lse_n, 0.0)
 
         acc = acc + jax.lax.cond(
-            jnp.any(t == lengths - 2), close_lookahead,
+            (t >= lminp - 2) & (t <= lmax - 2), close_lookahead,
             lambda _: jnp.zeros((1, BLK), jnp.float32), None)
 
         # fuse the oldest sub-states: reduce over the A-sized middle axis

@@ -88,6 +88,11 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
     hist_sc[:] = jnp.zeros((K, ST, BLK), jnp.float32)
     out_ref[:] = jnp.zeros((ST, BLK), jnp.float32)
 
+    # loop-invariant harvest predicate: scalar length bounds replace the
+    # per-step vector compare+reduce (a spurious fire is fully masked)
+    lmax = jnp.max(lengths)
+    lminp = jnp.min(jnp.where(lengths > 0, lengths, T + 2))
+
     def body(t, _):
         lp = lp_sc[:]
         prod = jnp.ones((K, BLK), jnp.float32)
@@ -148,7 +153,7 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
             return jnp.where(ending, acc, 0.0)
 
         out_ref[:] += jax.lax.cond(
-            jnp.any(t == lengths - 1), harvest,
+            (t >= lminp - 1) & (t <= lmax - 1), harvest,
             lambda _: jnp.zeros((ST, BLK), jnp.float32), None)
 
         # ---- fusion weights over the oldest digit ------------------------

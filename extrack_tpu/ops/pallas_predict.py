@@ -83,6 +83,13 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
     cat_sc[:] = jnp.zeros((K, TPS, BLK), jnp.float32)
     preds_ref[:] = jnp.zeros((T * S, BLK), jnp.float32)
 
+    # loop-invariant closing/harvest predicates: scalar length bounds
+    # replace per-step vector compare+reduces (exact for sorted
+    # same-length blocks; a spurious fire is fully masked)
+    any2 = jnp.any(lengths == 2)
+    lmax = jnp.max(lengths)
+    lminp = jnp.min(jnp.where(lengths > 0, lengths, T + 2))
+
     def body(t, acc):
         lp = lp_sc[:]
         prod = jnp.ones((K, BLK), jnp.float32)
@@ -112,7 +119,7 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
                               & (lengths == 2))[None, :], lse, 0.0)
 
         acc = acc + jax.lax.cond(
-            (t == 1) & jnp.any(lengths == 2), close_l2,
+            (t == 1) & any2, close_l2,
             lambda _: jnp.zeros((1, BLK), jnp.float32), None)
 
         gate = jnp.where(t + 1 >= min_len, 1.0, 0.0).astype(jnp.float32)
@@ -154,7 +161,7 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
             return jnp.where((t == lengths - 2)[None, :], lse_n, 0.0)
 
         acc = acc + jax.lax.cond(
-            jnp.any(t == lengths - 2), close_lookahead,
+            (t >= lminp - 2) & (t <= lmax - 2), close_lookahead,
             lambda _: jnp.zeros((1, BLK), jnp.float32), None)
 
         # ---- fusion weights over the oldest digit (slot k = g*A + o) -----
@@ -211,7 +218,7 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
             return jnp.where(ending, hist[W * S:(W + T) * S], 0.0)
 
         preds_ref[:] += jax.lax.cond(
-            jnp.any(t == lengths - 1), harvest,
+            (t >= lminp - 1) & (t <= lmax - 1), harvest,
             lambda _: jnp.zeros((T * S, BLK), jnp.float32), None)
 
         s2_add = (s2_slot_table(jnp.minimum(t, T - 2)) if per_step

@@ -289,7 +289,12 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
         lp_sc[:] = jnp.where(keep, lp_new, lp)
         return acc
 
-    acc = jax.lax.fori_loop(1, T, body, jnp.zeros((1, BLK), jnp.float32))
+    # dynamic trip count: the last useful step is the look-ahead closing at
+    # t = lmax - 2 (t = lmax - 1 is fully masked — keep is false everywhere
+    # and no closing fires), so uniform-length blocks skip one dead step
+    # (half the loop for 3-frame tracks) and padded blocks skip the rest
+    acc = jax.lax.fori_loop(1, jnp.maximum(lmax - 1, 2), body,
+                            jnp.zeros((1, BLK), jnp.float32))
     out_ref[:] = acc
 
 

@@ -268,11 +268,18 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
                              sig2_t)
         return (m, s2, lp, acc)
 
-    m, s2, lp, acc = jax.lax.fori_loop(1, T, fwd_body, (m, s2, lp, acc))
+    # dynamic trip count: the last useful step is the look-ahead closing at
+    # t = lmax - 2 (t = lmax - 1 is fully masked), so uniform-length blocks
+    # skip one dead step (half the loop for 3-frame tracks) and padded
+    # blocks skip the rest; the backward walks the same range and the
+    # skipped rows of ct_l2 stay at their zero init
+    tmax = jnp.maximum(lmax - 1, 2)
+    m, s2, lp, acc = jax.lax.fori_loop(1, tmax, fwd_body, (m, s2, lp, acc))
     logl_ref[:] = acc
     # ct_s2s is lane-sharded (per grid block, no cross-program accumulation)
     ct_s2s_ref[:] = jnp.zeros(
         ((T - 1) * P, BLK) if per_step else (1, 1), jnp.float32)
+    ct_l2_ref[:] = jnp.zeros((T * D, BLK), jnp.float32)
 
     # ---- backward: per-step pullbacks -------------------------------------
     # Each step's pullback is split: the interior (fuse + update) replays
@@ -288,7 +295,7 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
     ones_acc = jnp.ones((1, BLK), jnp.float32)
 
     def bwd_body(i, ct):
-        t = T - 1 - i
+        t = tmax - 1 - i
         (ct_m, ct_s2, ct_lp, ct_ltv, ct_lsv, ct_endv, ct_s2v,
          ct_ltn, ct_s2n, ct_lsn, ct_endn) = ct
         c3 = (mh[pl.ds(t - 1, 1)][0], s2h[pl.ds(t - 1, 1)][0],
@@ -396,7 +403,7 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
            jnp.zeros((D, K, BLK), jnp.float32),
            jnp.zeros((K, BLK), jnp.float32),
            zK, zK, zK, zK, zKA, zKA, zKA, zKA)
-    ct = jax.lax.fori_loop(0, T - 1, bwd_body, ct0)
+    ct = jax.lax.fori_loop(0, tmax - 1, bwd_body, ct0)
     ct_s2, ct_lp = ct[1], ct[2]
 
     # ---- init pullback: m0=x0 (no param), s2_0=l2_0+s20, lp_0=lp0 ----------

@@ -240,7 +240,10 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
         lp_sc[:] = jnp.where(keep, lp_new, lp)
         return acc
 
-    acc = jax.lax.fori_loop(1, T, body, jnp.zeros((1, BLK), jnp.float32))
+    # dynamic trip count: the harvest at t = lmax - 1 is the last useful
+    # step; shorter/padded blocks skip the dead tail of the scan
+    acc = jax.lax.fori_loop(1, jnp.maximum(lmax, 2), body,
+                            jnp.zeros((1, BLK), jnp.float32))
     logl_ref[:] = acc
 
 

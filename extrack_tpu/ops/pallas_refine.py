@@ -173,7 +173,11 @@ def _kernel(xs_ref, l2_ref, len_ref, lp0f_ref, ltf_ref, lp0r_ref, ltr_ref,
         init_register(t_row, lp0r_ref, (t == T - lengths)[None, :])
         return 0
 
-    jax.lax.fori_loop(0, T, suffix_body, 0)
+    # dynamic trip range: before t = T - lmax nothing has started (stores
+    # rewrite an untouched register; updates are fully masked) and the
+    # prefix pass below never reads those stash rows
+    lmax = jnp.max(lengths)
+    jax.lax.fori_loop(T - lmax, T, suffix_body, 0)
 
     # ---- helpers for the combine ------------------------------------------
     def end_product(t_row, m_refs, s2_refs, lp_val):
@@ -315,7 +319,8 @@ def _kernel(xs_ref, l2_ref, len_ref, lp0f_ref, ltf_ref, lp0r_ref, ltr_ref,
         scan_update(t, ltf_ref, (t < lengths - 1)[None, :])
         return 0
 
-    jax.lax.fori_loop(1, T, prefix_body, 0)
+    # dynamic trip count: the last written position is t = lmax - 1
+    jax.lax.fori_loop(1, jnp.maximum(lmax, 1), prefix_body, 0)
 
 
 @functools.partial(

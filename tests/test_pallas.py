@@ -88,3 +88,24 @@ def test_pallas_padding_and_blocks():
     assert got.shape == (200,)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_padded_time_and_batch():
+    """Canonical shapes pad T past every length and add empty tracks; the
+    dynamic trip count must not change any per-track likelihood."""
+    xs, lengths, isbl, tb = _setup(77, T=7)
+    ref = engine.forward(jnp.asarray(xs), jnp.asarray(lengths),
+                         jnp.asarray(isbl, jnp.float32), tb,
+                         window=5, min_len=3)
+    B, T, D = xs.shape
+    xs_p = np.zeros((B + 4, T + 5, D), np.float32)
+    xs_p[:B, :T] = xs
+    len_p = np.concatenate([lengths, [0, 0, 0, 0]]).astype(np.int32)
+    isbl_p = np.concatenate([isbl, np.zeros(4)]).astype(np.float32)
+    got = pallas_engine.forward_pallas(
+        jnp.asarray(xs_p), jnp.asarray(len_p),
+        jnp.asarray(isbl_p, jnp.float32), tb, window=5, min_len=3,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got)[:B], np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got)[B:], 0.0, atol=1e-7)

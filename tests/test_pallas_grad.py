@@ -127,3 +127,32 @@ def test_fit_objective_pallas_per_track_dt():
     np.testing.assert_allclose(float(vp), float(vx), rtol=3e-5)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_grad_kernel_padded_time_and_batch():
+    """Canonical program shapes pad T past every track's length and add
+    zero-length tracks; the dynamic trip count must stop at the block's
+    real max length and leave padded rows/lanes exactly zero."""
+    rng = np.random.default_rng(91)
+    Ds = np.array([0.0, 0.1])
+    tr = np.array([[.9, .1], [.15, .85]])
+    xs, _ = _sim_tracks(rng, 6, 7, 2, Ds, tr, np.array([.4, .6]), 0.02,
+                        0.02)
+    lengths = np.array([7, 5, 7, 3, 6, 7])
+    isbl = (lengths < 7).astype(float)
+    # pad T 7 -> 12 (ladder shape) and the batch with two empty tracks
+    xs_p = np.zeros((8, 12, 2), np.float32)
+    xs_p[:6, :7] = xs
+    len_p = np.concatenate([lengths, [0, 0]]).astype(np.int32)
+    isbl_p = np.concatenate([isbl, [0.0, 0.0]]).astype(np.float32)
+    theta = jnp.asarray([0.001, 0.1, 0.1, 0.15, 0.02, 0.1], jnp.float32)
+
+    v_ref, g_ref = jax.value_and_grad(_theta_objective(
+        jnp.asarray(xs, jnp.float32), jnp.asarray(lengths),
+        jnp.asarray(isbl, jnp.float32), False, 4, 1))(theta)
+    v_pl, g_pl = jax.value_and_grad(_theta_objective(
+        jnp.asarray(xs_p), jnp.asarray(len_p), jnp.asarray(isbl_p),
+        True, 4, 1))(theta)
+    np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
+                               rtol=2e-3, atol=2e-3)

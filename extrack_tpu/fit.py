@@ -123,10 +123,13 @@ def make_objective(batch,
                                      nb_substeps=nb_substeps,
                                      matrix_type=matrix_type)
             if sharded:
+                nl = getattr(b, "np_lengths", None)
                 total = total + pmesh.sharded_log_likelihood(
                     b, tb, window=window, nb_substeps=nb_substeps,
                     min_len=min_len, mesh=mesh,
-                    compute_engine="pallas" if use_pallas else "xla")
+                    compute_engine="pallas" if use_pallas else "xla",
+                    has_len2=bool((np.asarray(nl) == 2).any())
+                    if nl is not None else True)
             elif use_pallas:
                 from extrack_tpu.ops import pallas_grad
                 nl = getattr(b, "np_lengths", None)

@@ -78,7 +78,8 @@ def sharded_log_likelihood(batch: tdata.TrackBatch, tables: ModelTables,
                            *, window: int = 6, nb_substeps: int = 1,
                            min_len: int = 3,
                            mesh: Optional[Mesh] = None,
-                           compute_engine: str = "xla") -> jnp.ndarray:
+                           compute_engine: str = "xla",
+                           has_len2: bool = True) -> jnp.ndarray:
     """Total logL with tracks sharded over the data axis, psum over ICI.
 
     Works under jit/grad: with sharded inputs, XLA partitions the scan and
@@ -106,7 +107,8 @@ def sharded_log_likelihood(batch: tdata.TrackBatch, tables: ModelTables,
             from extrack_tpu.ops import pallas_grad
             local = -pallas_grad.neg_log_likelihood(
                 pos, lengths, isbl, tb, window=window,
-                nb_substeps=nb_substeps, min_len=min_len)
+                nb_substeps=nb_substeps, min_len=min_len,
+                has_len2=has_len2)
         else:
             local = jnp.sum(engine.forward(
                 pos, lengths, isbl, tb,

@@ -39,14 +39,23 @@ from extrack_tpu.ops.pallas_engine import (VMEM_LIMIT, _expand_rows,
 
 _TINY = 1e-30
 
-_SCRATCH_BUDGET = 40 * 1024 * 1024
+_SCRATCH_BUDGET = 48 * 1024 * 1024
 
 
 def hist_block_cap(T: int, D: int, K: int, S: int) -> int:
     """Largest lane-multiple block whose register + run/hist carries + the
-    transport temporaries fit the VMEM budget."""
-    per_lane = ((2 * D + 1) * K + K * T * 3 + K * S * T * 4
-                + 2 * S * T) * 4
+    transport temporaries fit the VMEM budget.
+
+    The kernel pads bin rows to the 8-sublane tile (TP), and the harvest
+    materializes ~4 (K, S*TP)-sized temporaries on top of the declared
+    scratch — measured 106 KB/lane at T=10, K=128, S=2, where a 640-lane
+    block (the old T-based formula's cap) exceeded the 64 MB scoped-vmem
+    limit at compile.  This formula overestimates that measurement by
+    ~11%, so the 48 MB budget keeps real usage under ~54 MB.
+    """
+    TP = -(-T // 8) * 8
+    per_lane = ((2 * D + 1) * K + 4 * K * TP + 5 * K * S * TP
+                + 2 * S * TP) * 4
     return (_SCRATCH_BUDGET // per_lane) // 128 * 128
 
 
@@ -240,7 +249,7 @@ def hist_pallas(positions,
                 *,
                 window: int = 7,
                 min_len: int = 3,
-                block: int = 128,
+                block: int = 256,
                 interpret: bool = False):
     """(T, S) posterior-expected segment-length histogram — VMEM-resident
     kernel.  Same semantics as histograms.window_segment_histogram with

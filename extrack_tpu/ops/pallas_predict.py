@@ -257,7 +257,7 @@ def predict_pallas(positions,
                    *,
                    window: int = 5,
                    min_len: int = 3,
-                   block: int = 256,
+                   block: int = 512,
                    interpret: bool = False):
     """(logL (B,), preds (B, T, S)) — VMEM-resident posterior kernel.
 

@@ -92,7 +92,7 @@ def main():
         if use_pallas:
             return jnp.sum(pallas_engine.forward_pallas(
                 xs, lengths, isbl, tb, window=W, min_len=MIN_LEN,
-                block=1024))
+                block=512))
         return jnp.sum(engine.forward(xs, lengths, isbl, tb, window=W,
                                       nb_substeps=1, min_len=MIN_LEN))
 

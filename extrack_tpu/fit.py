@@ -136,7 +136,7 @@ def make_objective(batch,
                 total = total - pallas_grad.neg_log_likelihood(
                     b.positions, b.lengths, b.is_bleached, tb,
                     window=window, nb_substeps=nb_substeps,
-                    min_len=min_len, block=1024,
+                    min_len=min_len, block=512,
                     has_len2=bool((np.asarray(nl) == 2).any())
                     if nl is not None else True)
             else:

@@ -310,7 +310,7 @@ def forward_pallas(positions,
                    window: int = 6,
                    nb_substeps: int = 1,
                    min_len: int = 3,
-                   block: int = 1024,
+                   block: int = 512,
                    interpret: bool = False):
     """Per-track log likelihood — VMEM-resident Pallas kernel.
 

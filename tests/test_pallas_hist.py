@@ -84,3 +84,24 @@ def test_hist_kernel_per_peak_locerr():
         interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_hist_block_cap_conservative():
+    """Regression: the cap must account for the kernel's 8-padded bin rows
+    (TP) and harvest temporaries.  The old T-based formula returned 640 at
+    the bench shape (T=10, K=128, S=2), where the real scoped-vmem use is
+    ~106 KB/lane — 640 lanes exceeded the 64 MB Mosaic limit at compile on
+    TPU.  Measured-safe bound at this shape: 512."""
+    assert pallas_hist.hist_block_cap(10, 2, 2 ** 7, 2) <= 512
+    # formula must track the padded row count: T=9..16 all pad to TP=16
+    caps = {T: pallas_hist.hist_block_cap(T, 2, 2 ** 7, 2)
+            for T in range(9, 17)}
+    assert len(set(caps.values())) == 1
+    # and stay monotone non-increasing in T
+    caps_t = [pallas_hist.hist_block_cap(T, 2, 2 ** 7, 2)
+              for T in (8, 16, 24, 32, 48)]
+    assert all(a >= b for a, b in zip(caps_t, caps_t[1:]))
+    # the measured 106 KB/lane reality: cap * per-lane-real must stay
+    # under the 64 MB limit with margin at the bench shape
+    cap = pallas_hist.hist_block_cap(10, 2, 2 ** 7, 2)
+    assert cap * 106 * 1024 < 60 * 1024 * 1024

@@ -202,11 +202,13 @@ def main():
     # analysis itself.  bench_million deliberately keeps simulation inside
     # (it benchmarks the sim->fit pipeline and reports sim_s/fit_s).
     q = args.quick
+    # names match the @timed names (the keys recorded in results.json), so
+    # --only filters copied from results.json select what they name
     cases = [
         ("fit_2state_example_tracks", prep_fit_fixture, bench_fit_fixture),
-        ("predict_and_histograms",
+        ("predict_and_histograms_20k",
          lambda: _sim(2000 if q else 20000, seed=2)[0], bench_predict_hist),
-        ("fit_3state_substeps2",
+        ("fit_3state_substeps2_5k",
          lambda: prep_3state(1000 if q else 5000), bench_3state),
         ("refine_2state_10k",
          lambda: _sim(1000 if q else 10000, seed=4, max_len=10)[0],
@@ -215,7 +217,7 @@ def main():
          lambda: prep_refine_large(50_000 if q else 939_000),
          bench_refine_large),
         ("fit_1M_tracks_sim_fov", lambda: q, bench_million),
-        ("model_selection",
+        ("model_selection_2to4_states_5k",
          lambda: _sim(1000 if q else 5000, seed=6, max_len=10)[0],
          bench_model_selection),
     ]

@@ -103,17 +103,23 @@ def make_objective(batch,
     else:
         pallas_batches = [compute_engine == "pallas"] * len(batches)
 
-    def neg_logl(z, data=None):
-        # ``data`` lets callers pass the track batches as jit ARGUMENTS
-        # (fit() does): with them closed over instead, every compiled
-        # program embeds the dataset as constants — a 10^6-track fit's
-        # cached executable was 215MB (860MB for the on-device L-BFGS
-        # loop), and shipping that to the accelerator per process cost
-        # minutes.  Single-arg calls keep working for hand-held use.
-        bs = batches if data is None else data
+    # static per-bucket facts decided at build time.  has_len2 must come
+    # from the original batches here: np_lengths is a host-side cache that
+    # does not survive pytree flatten/unflatten (jax.device_put drops it),
+    # so computing it from the runtime ``data`` would silently pin the
+    # kernels to the conservative has_len2=True variant on the main fit
+    # path — and disagree with the trace signature below.
+    has_len2s = [bool((np.asarray(b.np_lengths) == 2).any())
+                 if getattr(b, "np_lengths", None) is not None else True
+                 for b in batches]
+
+    def core(z, bs):
+        # the data-as-argument objective body: deliberately closes over no
+        # track arrays, so jitted artifacts cached across objectives
+        # (_shared_jit / _JIT_CACHE) never retain a dataset
         values = spec.resolve(spec.from_unconstrained(z))
         total = 0.0
-        for b, use_pallas in zip(bs, pallas_batches):
+        for b, use_pallas, has_len2 in zip(bs, pallas_batches, has_len2s):
             loc_err_input = b.loc_err if input_loc_err else None
             Ds, Fs, rates, loc_err, pBL = tparams.extract_arrays(
                 values, nb_states, input_loc_err=loc_err_input)
@@ -123,22 +129,17 @@ def make_objective(batch,
                                      nb_substeps=nb_substeps,
                                      matrix_type=matrix_type)
             if sharded:
-                nl = getattr(b, "np_lengths", None)
                 total = total + pmesh.sharded_log_likelihood(
                     b, tb, window=window, nb_substeps=nb_substeps,
                     min_len=min_len, mesh=mesh,
                     compute_engine="pallas" if use_pallas else "xla",
-                    has_len2=bool((np.asarray(nl) == 2).any())
-                    if nl is not None else True)
+                    has_len2=has_len2)
             elif use_pallas:
                 from extrack_tpu.ops import pallas_grad
-                nl = getattr(b, "np_lengths", None)
                 total = total - pallas_grad.neg_log_likelihood(
                     b.positions, b.lengths, b.is_bleached, tb,
                     window=window, nb_substeps=nb_substeps,
-                    min_len=min_len, block=512,
-                    has_len2=bool((np.asarray(nl) == 2).any())
-                    if nl is not None else True)
+                    min_len=min_len, block=512, has_len2=has_len2)
             else:
                 total = total + jnp.sum(engine.forward(
                     b.positions, b.lengths, b.is_bleached, tb,
@@ -146,7 +147,17 @@ def make_objective(batch,
                     min_len=min_len))
         return -total
 
+    def neg_logl(z, data=None):
+        # ``data`` lets callers pass the track batches as jit ARGUMENTS
+        # (fit() does): with them closed over instead, every compiled
+        # program embeds the dataset as constants — a 10^6-track fit's
+        # cached executable was 215MB (860MB for the on-device L-BFGS
+        # loop), and shipping that to the accelerator per process cost
+        # minutes.  Single-arg calls keep working for hand-held use.
+        return core(z, batches if data is None else data)
+
     neg_logl.batches = batches        # fit() passes these as arguments
+    neg_logl.core = core              # dataset-free body for shared jits
     neg_logl.uses_pallas = any(pallas_batches)
     # Everything the closure BAKES into a trace (the track arrays ride as
     # arguments, so they are deliberately absent): two objectives with equal
@@ -159,10 +170,7 @@ def make_objective(batch,
         spec.trace_signature(), dt_sig, nb_states, tuple(cell_dims),
         nb_substeps, window, min_len, matrix_type, bool(input_loc_err),
         bool(sharded), None if mesh is None else len(mesh.devices.ravel()),
-        tuple(pallas_batches), jax.default_backend(),
-        tuple(bool((np.asarray(b.np_lengths) == 2).any())
-              if getattr(b, "np_lengths", None) is not None else True
-              for b in batches))
+        tuple(pallas_batches), jax.default_backend(), tuple(has_len2s))
     return neg_logl
 
 
@@ -223,10 +231,18 @@ def run_lbfgs_device(neg_logl: Callable, z0, *, data=None,
                               getattr(neg_logl, "trace_signature", object())))
     if run is None:
         opt = optax.lbfgs()
+        # the data-as-argument variant is cached across objectives in
+        # _JIT_CACHE, so it must close over the dataset-free core only —
+        # retaining neg_logl would pin its closed-over batches for the
+        # process lifetime
+        if data is None:
+            base = lambda z, _: neg_logl(z)          # noqa: E731
+        else:
+            base = getattr(neg_logl, "core", None) or neg_logl
 
         @jax.jit
         def run(z0, data, max_iter, ftol, gtol):
-            fn = neg_logl if data is None else (lambda z: neg_logl(z, data))
+            fn = lambda z: base(z, data)             # noqa: E731
             value_and_grad = optax.value_and_grad_from_state(fn)
 
             def step(carry):
@@ -319,7 +335,7 @@ def fit(batch: tdata.TrackBatch,
     # device arrays pass through untouched.
     data = jax.device_put(neg_logl.batches)   # no-op for committed arrays
     vg2 = _shared_jit(neg_logl, "vg",
-                      lambda: jax.jit(jax.value_and_grad(neg_logl)))
+                      lambda: jax.jit(jax.value_and_grad(neg_logl.core)))
     vg = lambda z: vg2(z, data)    # noqa: E731
     z0 = spec.to_unconstrained()
     history = []

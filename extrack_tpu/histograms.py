@@ -505,20 +505,22 @@ def decode_segments(seqs, weights, lengths, nb_states: int):
 @functools.partial(
     jax.jit,
     static_argnames=("nb_states", "cell_dims", "window", "min_len",
-                     "matrix_type", "mesh", "compute_engine"))
+                     "matrix_type", "mesh", "compute_engine",
+                     "nb_substeps"))
 def _hist_sharded_from_values(values, positions, lengths, is_bleached,
                               loc_err_in, dt_arr, *, nb_states, cell_dims,
                               window, min_len, matrix_type, mesh,
-                              compute_engine):
+                              compute_engine, nb_substeps=1):
     """Table build + shard_map histogram in one jit (mesh is static)."""
     from extrack_tpu.parallel import mesh as pmesh
     Ds, Fs, rates, loc_err, pBL = tparams.extract_arrays(
         values, nb_states, input_loc_err=loc_err_in)
     tb = ttables.build_tables(Ds, loc_err, Fs, rates, pBL, dt_arr,
-                              cell_dims=cell_dims, matrix_type=matrix_type)
+                              cell_dims=cell_dims, matrix_type=matrix_type,
+                              nb_substeps=nb_substeps)
     b = tdata.TrackBatch(positions, lengths, None, is_bleached)
     return pmesh.sharded_histogram(b, tb, window=window, min_len=min_len,
-                                   mesh=mesh,
+                                   mesh=mesh, nb_substeps=nb_substeps,
                                    compute_engine=compute_engine)
 
 
@@ -678,6 +680,7 @@ def hist_batch(batch: tdata.TrackBatch,
                 part.loc_err if input_loc_err else None, dt_arr,
                 nb_states=nb_states, cell_dims=cell, window=window_sub,
                 min_len=min_len, matrix_type=matrix_type, mesh=mesh,
+                nb_substeps=nb_substeps,
                 compute_engine="pallas" if engine == "pallas" else "xla")
             hist = h if hist is None else hist + h
         return np.asarray(hist)

@@ -560,7 +560,7 @@ def supports(T: int, D: int, nb_states: int, window: int,
 
 def neg_log_likelihood(positions, lengths, is_bleached, tables: ModelTables,
                        *, window: int = 6, nb_substeps: int = 1,
-                       min_len: int = 3, block: int = 256,
+                       min_len: int = 3, block: int = 512,
                        has_len2: bool = True):
     """-sum logL, differentiable w.r.t. the model tables and loc errors,
     with both passes as VMEM-resident Pallas kernels.

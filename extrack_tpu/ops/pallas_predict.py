@@ -48,10 +48,16 @@ _SCRATCH_BUDGET = 40 * 1024 * 1024
 
 def predict_block_cap(T: int, W: int, D: int, K: int, S: int) -> int:
     """Largest lane-multiple block whose register + history + posterior
-    work set fits the VMEM budget."""
-    tpad_s = (T + W) * S
+    work set fits the VMEM budget.
+
+    Sized with the kernel's real 8-padded row counts (TPS for the cat
+    scratch/temporaries, OHP for the one-hot matmul operand) — an
+    unpadded estimate under-counts by up to 7 rows per K-sized tile, the
+    defect class that let hist_block_cap admit VMEM-overflowing blocks."""
+    tps = -(-((T + W) * S) // 8) * 8
+    ohp = -(-(W * S) // 8) * 8
     # register (2D+1 rows of K) + cat + ~4 cat-sized temporaries + history
-    per_lane = ((2 * D + 1) * K + 5 * K * tpad_s + 2 * tpad_s) * 4
+    per_lane = ((2 * D + 1) * K + 5 * K * tps + 2 * tps + ohp) * 4
     return (_SCRATCH_BUDGET // per_lane) // 128 * 128
 
 

@@ -148,11 +148,15 @@ def sharded_posteriors(batch: tdata.TrackBatch, tables: ModelTables, *,
 
 def sharded_histogram(batch: tdata.TrackBatch, tables: ModelTables, *,
                       window: int = 7, min_len: int = 3, mesh: Mesh,
-                      compute_engine: str = "xla"):
+                      compute_engine: str = "xla", nb_substeps: int = 1):
     """(T, S) duration histogram: per-shard histograms psum over ICI
     (the reference reduces per-chunk histograms the same way,
     extrack/histograms.py:360-367)."""
     from extrack_tpu import histograms
+
+    if compute_engine == "pallas" and nb_substeps != 1:
+        raise NotImplementedError(
+            "the histogram kernel supports nb_substeps=1 only")
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -167,7 +171,8 @@ def sharded_histogram(batch: tdata.TrackBatch, tables: ModelTables, *,
                 interpret=jax.default_backend() != "tpu")
         else:
             local = histograms.window_segment_histogram(
-                pos, lengths, isbl, tb, window=window, min_len=min_len)
+                pos, lengths, isbl, tb, window=window, min_len=min_len,
+                nb_substeps=nb_substeps)
         return jax.lax.psum(local, DATA_AXIS)
 
     return shard_fn(batch.positions, batch.lengths, batch.is_bleached,

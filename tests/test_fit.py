@@ -143,3 +143,28 @@ def test_trace_signature_sharing():
                  cell_dims=(0.5,), window=4, verbose=0)
     assert len(fit._JIT_CACHE) == n_cached       # no new artifacts built
     assert abs(r1.logl - r2.logl) < 1e-6 * abs(r1.logl) + 1e-6
+
+
+def test_objective_core_is_dataset_free():
+    """Regression for two review findings: (a) jitted artifacts cached
+    across objectives (_shared_jit/_JIT_CACHE) are built from
+    neg_logl.core, which must not close over the track batches or they
+    are retained for the process lifetime; (b) has_len2 must be decided
+    at build time from np_lengths (the host cache does not survive
+    jax.device_put), not read off the runtime data."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    tracks = {"5": rng.normal(0, 0.1, (6, 5, 2)).cumsum(1)}
+    batch = tdata.from_dict(tracks)
+    spec = xp.generate_params(nb_states=2, D_max=1.0)
+    obj = fit.make_objective(batch, spec, 0.02, 2, cell_dims=(1.0,),
+                             window=4)
+    assert "batches" not in obj.core.__code__.co_freevars
+    # no 2-frame tracks -> the static closing removal must engage
+    assert obj.trace_signature[-1] == (False,)
+    # and the argument path must agree with the closed-over path
+    z = jnp.asarray(spec.to_unconstrained())
+    data = jax.device_put(obj.batches)
+    np.testing.assert_allclose(float(obj(z)), float(obj.core(z, data)),
+                               rtol=1e-12)

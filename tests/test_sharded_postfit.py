@@ -179,3 +179,18 @@ def test_sharded_predict_ineligible_shape_falls_back(monkeypatch):
                                rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(np.asarray(preds_8), np.asarray(preds_1),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_hist_substeps_matches_single():
+    """Regression: the sharded path used to build its tables WITHOUT
+    nb_substeps (and run the engine without it), silently evaluating a
+    substeps=1 model under the substep-expanded window."""
+    batch, _ = _batch_tables(11, B=24, T=7)
+    values = {"LocErr": 0.02, "D0": 0.0, "D1": 0.1, "F0": 0.4, "F1": 0.6,
+              "p01": 0.1, "p10": 0.15, "pBL": 0.1}
+    kw = dict(cell_dims=(0.8, None, None), nb_states=2, window=3,
+              nb_substeps=2, engine="window")
+    h_one = histograms.hist_batch(batch, values, 0.02, **kw)
+    h_sh = histograms.hist_batch(batch, values, 0.02, sharded=True, **kw)
+    np.testing.assert_allclose(np.asarray(h_sh), np.asarray(h_one),
+                               rtol=1e-10, atol=1e-12)

@@ -219,7 +219,15 @@ def batch_log_likelihood(xs, lengths, is_bleached, loc_err, **kw):
         T = int(lengths[i])
         if T < 2:
             continue
-        le = loc_err if np.ndim(loc_err) <= 1 else loc_err[i][:T]
+        # per-track only when a batch axis is present (B, T, D); a shared
+        # per-frame (T, D) array slices on TIME, never the track index
+        nd = np.ndim(loc_err)
+        if nd == 3:
+            le = loc_err[i][:T]
+        elif nd == 2:
+            le = loc_err[:T]
+        else:
+            le = loc_err
         total += track_log_likelihood(xs[i][:T], le,
                                       is_bleached=float(is_bleached[i]), **kw)
     return total

@@ -9,6 +9,7 @@ reference's dict format so users of the original API feel at home.
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -80,27 +81,10 @@ class TrackBatch:
         if b == n:
             return self
         assert n > b
-        pad = n - b
-
-        def _pad(x, value=0):
-            if x is None:
-                return None
-            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-            return jnp.pad(x, widths, constant_values=value)
-
-        # loc_err / dt pad with positive values: zeros would put log(0)/
-        # 0-variance terms in masked lanes, whose NaNs leak through
-        # jnp.where under grad.  dt pads with its own median so the
-        # median-based survival tables (tables.build_tables dt_repr) are
-        # identical before and after padding.
-        dt_fill = jnp.median(self.dt) if self.dt is not None else 0
-        out = TrackBatch(
-            _pad(self.positions), _pad(self.lengths),
-            _pad(self.loc_err, 1.0), _pad(self.is_bleached),
-            _pad(self.frames), _pad(self.dt, dt_fill))
+        out = _pad_batch_axis(self, n - b)
         cached = getattr(self, "np_lengths", None)
         if cached is not None:   # keep drivers off the device->host path
-            out.np_lengths = np.pad(np.asarray(cached), (0, pad))
+            out.np_lengths = np.pad(np.asarray(cached), (0, n - b))
         return out
 
     def pad_len_to(self, t: int) -> "TrackBatch":
@@ -110,24 +94,49 @@ class TrackBatch:
         if cur == t:
             return self
         assert t > cur
-        pad = t - cur
-
-        def _pad(x, value=0, axis=1):
-            if x is None:
-                return None
-            widths = [(0, 0)] * x.ndim
-            widths[axis] = (0, pad)
-            return jnp.pad(x, widths, constant_values=value)
-
-        dt_fill = jnp.median(self.dt) if self.dt is not None else 0
-        out = TrackBatch(
-            _pad(self.positions), self.lengths,
-            _pad(self.loc_err, 1.0), self.is_bleached,
-            _pad(self.frames), _pad(self.dt, dt_fill))
+        out = _pad_time_axis(self, t - cur)
         cached = getattr(self, "np_lengths", None)
         if cached is not None:
             out.np_lengths = cached
         return out
+
+
+# loc_err / dt pad with positive values: zeros would put log(0)/0-variance
+# terms in masked lanes, whose NaNs leak through jnp.where under grad.  dt
+# pads with its own median so the median-based survival tables
+# (tables.build_tables dt_repr) are identical before and after padding.
+# Both pads run as ONE jitted program (persistent-cacheable) instead of up
+# to seven eager dispatches: through the remote-TPU tunnel every eager op
+# is a separate multi-second compile roundtrip (CLAUDE.md).
+@functools.partial(jax.jit, static_argnames="pad")
+def _pad_batch_axis(batch: "TrackBatch", pad: int) -> "TrackBatch":
+    def _pad(x, value=0):
+        if x is None:
+            return None
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=value)
+
+    dt_fill = jnp.median(batch.dt) if batch.dt is not None else 0
+    return TrackBatch(
+        _pad(batch.positions), _pad(batch.lengths),
+        _pad(batch.loc_err, 1.0), _pad(batch.is_bleached),
+        _pad(batch.frames), _pad(batch.dt, dt_fill))
+
+
+@functools.partial(jax.jit, static_argnames="pad")
+def _pad_time_axis(batch: "TrackBatch", pad: int) -> "TrackBatch":
+    def _pad(x, value=0):
+        if x is None:
+            return None
+        widths = [(0, 0)] * x.ndim
+        widths[1] = (0, pad)
+        return jnp.pad(x, widths, constant_values=value)
+
+    dt_fill = jnp.median(batch.dt) if batch.dt is not None else 0
+    return TrackBatch(
+        _pad(batch.positions), batch.lengths,
+        _pad(batch.loc_err, 1.0), batch.is_bleached,
+        _pad(batch.frames), _pad(batch.dt, dt_fill))
 
 
 def from_dict(all_tracks: Dict[str, np.ndarray],
@@ -161,6 +170,13 @@ def from_dict(all_tracks: Dict[str, np.ndarray],
         data_max = max(lens)
     tmax = max_len or max(lens)
 
+    # per-step dt tails pad with the dataset's median dt (NOT an arbitrary
+    # constant): tables.build_tables derives its survival-table dt_repr from
+    # the median of the whole (B, T-1) array, so pad values must not move it
+    if dt is not None:
+        _all_dt = np.concatenate(
+            [np.asarray(dt[k], dtype=dtype).ravel() for k in keys])
+        dt_fill = float(np.median(_all_dt)) if _all_dt.size else 1.0
     pos_l, len_l, err_l, frm_l, dt_l, bl_l = [], [], [], [], [], []
     for k in keys:
         arr = np.asarray(all_tracks[k], dtype=dtype)
@@ -185,7 +201,7 @@ def from_dict(all_tracks: Dict[str, np.ndarray],
             frm_l.append(f)
         if dt is not None:
             dd = np.asarray(dt[k], dtype=dtype)
-            step_dt = np.ones((b, tmax - 1), dtype=dtype)
+            step_dt = np.full((b, tmax - 1), dt_fill, dtype=dtype)
             n_steps = min(t - 1, dd.shape[1])
             step_dt[:, :n_steps] = dd[:, :n_steps]
             dt_l.append(step_dt)
@@ -278,22 +294,31 @@ def from_dict_bucketed(all_tracks: Dict[str, np.ndarray],
     counts = {l: len(all_tracks[str(l)]) for l in lens}
     data_max = max(lens)
 
-    # dynamic programming over bucket boundaries (few distinct lengths)
-    best: Dict[int, tuple] = {0: (0.0, [])}
-    for j in range(1, len(lens) + 1):
-        options = []
-        for i in range(max(0, j - 32), j):
-            if i not in best:
-                continue
-            cost_prev, cuts = best[i]
-            if len(cuts) >= max_buckets - (0 if j == len(lens) else 1):
-                continue
-            width = lens[j - 1]
-            cost = cost_prev + sum(counts[l] for l in lens[i:j]) * width
-            options.append((cost, cuts + [j]))
-        if options:
-            best[j] = min(options, key=lambda t: t[0])
-    cuts = best[len(lens)][1]
+    # exact dynamic program over bucket boundaries: best[j] after b rounds =
+    # (min padded work covering lens[:j] with <= b buckets, its cuts).  A
+    # single-state DP keyed on j alone is wrong (the min-cost prefix can
+    # exhaust the bucket budget before reaching the end), and any fixed
+    # look-back window crashes on datasets with many distinct lengths, so
+    # this layers the bucket count explicitly: O(max_buckets * n^2) with
+    # n = number of distinct lengths (bounded by the longest track).
+    n = len(lens)
+    csum = np.concatenate([[0], np.cumsum([counts[l] for l in lens])])
+    INF = float("inf")
+    prev_cost = [0.0] + [INF] * n
+    prev_cuts: list = [[]] + [None] * n
+    for _ in range(min(max_buckets, n)):
+        cur_cost = list(prev_cost)
+        cur_cuts = list(prev_cuts)
+        for j in range(1, n + 1):
+            for i in range(j):
+                if prev_cost[i] == INF:
+                    continue
+                cost = prev_cost[i] + (csum[j] - csum[i]) * lens[j - 1]
+                if cost < cur_cost[j]:
+                    cur_cost[j] = cost
+                    cur_cuts[j] = prev_cuts[i] + [j]
+        prev_cost, prev_cuts = cur_cost, cur_cuts
+    cuts = prev_cuts[n]
 
     batches = []
     start = 0

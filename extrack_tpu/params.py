@@ -119,8 +119,13 @@ class Parameters:
         ``z``).  Two Parameters with equal signatures trace to identical
         programs, letting fit drivers share compiled artifacts across
         independently-built objectives (see fit._shared_jit)."""
+        # expr-tied params' stored value is never read by resolve (the expr
+        # graph recomputes it), so it must not enter the signature: fits
+        # that reuse returned params (set_values of resolved dicts, warm
+        # starts, checkpoint resume) would otherwise miss the shared-jit
+        # cache for a bit-identical program.
         return (tuple((p.name, p.min, p.max, p.vary, p.expr,
-                       None if p.vary else p.value)
+                       None if (p.vary or p.expr is not None) else p.value)
                       for p in self._params.values()),
                 self.steady_state_n)
 
@@ -379,15 +384,19 @@ def get_params(nb_states: int = 2, steady_state: bool = False,
                            max_values["LocErr"][s],
                            vary_params["LocErr"][s])
 
-    d_names = sorted(k for k in estimated_vals if k.startswith("D")
-                     and k[1:].isdigit())
+    # numeric sort (D10 after D9), and never assume D0 was provided: D0
+    # always exists (default 0.0) and every OTHER provided D chains off it
+    # as a non-negative increment, so skipping by position would silently
+    # drop the first provided D when D0 is absent from estimated_vals.
+    d_names = sorted((k for k in estimated_vals if k.startswith("D")
+                      and k[1:].isdigit()), key=lambda k: int(k[1:]))
     params.add("D0", estimated_vals.get("D0", 0.0),
                min_values.get("D0", 0.0), max_values.get("D0", 0.3),
                vary_params.get("D0", True))
     expr = "D0"
     prev = "D0"
     running = estimated_vals.get("D0", 0.0)
-    for name in d_names[1:]:
+    for name in (n for n in d_names if n != "D0"):
         inc = f"{name}_minus_{prev}"
         params.add(inc, estimated_vals[name] - running, 0.0,
                    max_values.get(name, 1.0), vary_params.get(name, True))
@@ -396,8 +405,8 @@ def get_params(nb_states: int = 2, steady_state: bool = False,
         prev = name
         running = estimated_vals[name]
 
-    f_names = sorted(k for k in estimated_vals if k.startswith("F")
-                     and k[1:].isdigit())
+    f_names = sorted((k for k in estimated_vals if k.startswith("F")
+                      and k[1:].isdigit()), key=lambda k: int(k[1:]))
     f_expr = "1"
     for name in f_names[:nb_states - 1]:
         params.add(name, estimated_vals[name], min_values.get(name, 0.001),

@@ -122,3 +122,72 @@ def test_canonical_shapes_preserve_results():
     assert tdata.canonical_batch(400) == 512
     assert tdata.canonical_len(41) == 48
     assert tdata.canonical_len(10) == 12
+
+
+def test_from_dict_dt_pad_preserves_median():
+    """Per-step dt tails pad with the dataset median (NOT 1.0): the
+    survival tables derive dt_repr from the median of the padded array,
+    so a constant fill silently rebuilt them for the wrong interval on
+    ragged-length datasets."""
+    tracks = {"3": np.random.default_rng(0).normal(0, 0.05, (40, 3, 2)),
+              "20": np.random.default_rng(1).normal(0, 0.05, (1, 20, 2))}
+    dts = {"3": np.full((40, 2), 0.02), "20": np.full((1, 19), 0.02)}
+    b = tdata.from_dict(tracks, dt=dts)
+    assert float(np.median(np.asarray(b.dt))) == pytest.approx(0.02)
+    # padding the batch/time axes keeps the median (and the engine masked)
+    p = b.pad_batch_to(64).pad_len_to(24)
+    assert float(np.median(np.asarray(p.dt))) == pytest.approx(0.02)
+
+
+def test_bucketing_handles_many_distinct_lengths():
+    """The bucket-boundary DP must cover datasets with arbitrarily many
+    distinct track lengths (a fixed look-back window used to KeyError
+    beyond 32*max_buckets) and respect max_buckets exactly."""
+    rng = np.random.default_rng(2)
+    tracks = {str(l): rng.normal(0, 0.05, (2, l, 2)) for l in range(2, 131)}
+    for mb in (1, 4):
+        bs = tdata.from_dict_bucketed(tracks, max_buckets=mb)
+        assert 1 <= len(bs) <= mb
+        assert sum(x.batch_size for x in bs) == 2 * 129
+        assert max(x.max_len for x in bs) == 130
+
+
+def test_trace_signature_ignores_tied_values():
+    """set_values(resolve()) — what fit does to returned params — must not
+    change the trace signature: expr-tied params' stored values are never
+    read, and a changed signature defeats the shared-jit cache."""
+    spec = xp.generate_params(nb_states=2, LocErr_type=1, D_max=1.0,
+                              estimated_Ds=[0.001, 0.05])
+    other = spec.copy()
+    other.set_values(other.resolve())
+    assert spec.trace_signature() == other.trace_signature()
+
+
+def test_get_params_without_d0():
+    """estimated_vals lacking D0 must still register every provided D."""
+    p = xp.get_params(nb_states=2, estimated_vals={
+        "D1": 0.1, "F0": 0.5, "p01": 0.1, "p10": 0.1,
+        "LocErr": 0.02, "pBL": 0.05})
+    r = p.resolve()
+    assert float(r["D0"]) == pytest.approx(0.0)
+    assert float(r["D1"]) == pytest.approx(0.1)
+
+
+def test_oracle_shared_per_frame_loc_err():
+    """A shared (T, D) loc_err is per-frame, not per-track: the batch
+    oracle must broadcast it over tracks instead of indexing the time
+    axis with the track index."""
+    rng = np.random.default_rng(3)
+    xs = rng.normal(0, 0.05, (3, 5, 2))
+    lengths = np.array([5, 5, 5])
+    isbl = np.zeros(3)
+    kw = dict(Ds=np.array([0.0, 0.08]), Fs=np.array([0.5, 0.5]),
+              tr_sub=np.array([[0.9, 0.1], [0.1, 0.9]]), pBL=0.05,
+              cell_dims=(0.5,), dt=0.02)
+    t_scalar = oracle.batch_log_likelihood(xs, lengths, isbl, 0.02, **kw)
+    t_frame = oracle.batch_log_likelihood(
+        xs, lengths, isbl, np.full((5, 2), 0.02), **kw)
+    t_track = oracle.batch_log_likelihood(
+        xs, lengths, isbl, np.full((3, 5, 2), 0.02), **kw)
+    assert t_frame == pytest.approx(t_scalar, abs=1e-9)
+    assert t_track == pytest.approx(t_scalar, abs=1e-9)

@@ -274,35 +274,22 @@ def canonicalize(batch: TrackBatch) -> TrackBatch:
     return batch.pad_batch_to(canonical_batch(batch.batch_size))
 
 
-def from_dict_bucketed(all_tracks: Dict[str, np.ndarray],
-                       max_buckets: int = 4,
-                       canonical_shapes: bool = False,
-                       **kw) -> list:
-    """Split a length-keyed dict into a few padded TrackBatches so short
-    tracks don't pay the longest track's scan length.
+def partition_cuts(lens, counts, max_buckets: int) -> list:
+    """Exclusive end indices into the ascending distinct-length list
+    ``lens`` (with per-length track ``counts``) minimizing total padded
+    work sum(n_i * bucket_max_len_i) over <= max_buckets contiguous groups.
 
-    Bucket edges are chosen greedily to minimize total padded work
-    (sum over buckets of n_tracks * bucket_max_len).  The ``is_bleached``
-    convention stays global: only tracks at the DATASET maximum length are
-    censored (extrack/tracking.py:1037-1040).  ``canonical_shapes`` pads
-    every bucket to the canonical (T, B) program-shape ladder so fresh
-    processes hit the persistent compilation cache.
+    Exact dynamic program over bucket boundaries: best[j] after b rounds =
+    (min padded work covering lens[:j] with <= b buckets, its cuts).  A
+    single-state DP keyed on j alone is wrong (the min-cost prefix can
+    exhaust the bucket budget before reaching the end), and any fixed
+    look-back window crashes on datasets with many distinct lengths, so
+    this layers the bucket count explicitly: O(max_buckets * n^2) with
+    n = number of distinct lengths (bounded by the longest track).
+    Shared by from_dict_bucketed and simulate.sim_fov_batch.
     """
-    lens = sorted(int(k) for k in all_tracks if len(all_tracks[k]) > 0)
-    if not lens:
-        raise ValueError("No tracks found. The loaded tracks seem empty.")
-    counts = {l: len(all_tracks[str(l)]) for l in lens}
-    data_max = max(lens)
-
-    # exact dynamic program over bucket boundaries: best[j] after b rounds =
-    # (min padded work covering lens[:j] with <= b buckets, its cuts).  A
-    # single-state DP keyed on j alone is wrong (the min-cost prefix can
-    # exhaust the bucket budget before reaching the end), and any fixed
-    # look-back window crashes on datasets with many distinct lengths, so
-    # this layers the bucket count explicitly: O(max_buckets * n^2) with
-    # n = number of distinct lengths (bounded by the longest track).
     n = len(lens)
-    csum = np.concatenate([[0], np.cumsum([counts[l] for l in lens])])
+    csum = np.concatenate([[0], np.cumsum(list(counts))])
     INF = float("inf")
     prev_cost = [0.0] + [INF] * n
     prev_cuts: list = [[]] + [None] * n
@@ -318,7 +305,30 @@ def from_dict_bucketed(all_tracks: Dict[str, np.ndarray],
                     cur_cost[j] = cost
                     cur_cuts[j] = prev_cuts[i] + [j]
         prev_cost, prev_cuts = cur_cost, cur_cuts
-    cuts = prev_cuts[n]
+    return prev_cuts[n]
+
+
+def from_dict_bucketed(all_tracks: Dict[str, np.ndarray],
+                       max_buckets: int = 4,
+                       canonical_shapes: bool = False,
+                       **kw) -> list:
+    """Split a length-keyed dict into a few padded TrackBatches so short
+    tracks don't pay the longest track's scan length.
+
+    Bucket edges are chosen by ``partition_cuts`` to minimize total padded
+    work (sum over buckets of n_tracks * bucket_max_len).  The
+    ``is_bleached`` convention stays global: only tracks at the DATASET
+    maximum length are censored (extrack/tracking.py:1037-1040).
+    ``canonical_shapes`` pads every bucket to the canonical (T, B)
+    program-shape ladder so fresh processes hit the persistent compilation
+    cache.
+    """
+    lens = sorted(int(k) for k in all_tracks if len(all_tracks[k]) > 0)
+    if not lens:
+        raise ValueError("No tracks found. The loaded tracks seem empty.")
+    counts = {l: len(all_tracks[str(l)]) for l in lens}
+    data_max = max(lens)
+    cuts = partition_cuts(lens, [counts[l] for l in lens], max_buckets)
 
     batches = []
     start = 0

@@ -80,8 +80,11 @@ def analyze(tracks_or_path,
     batches = tdata.from_dict_bucketed(tracks, max_buckets=max_buckets,
                                        canonical_shapes=True)
     # min_len is a DATASET property (shortest track present, reference
-    # tracking.py:1009) — per-bucket inference would differ between buckets
-    min_len = min(int(k) for k in tracks if len(tracks[k]) > 0)
+    # tracking.py:1009) — per-bucket inference would differ between buckets.
+    # Same >= 2 clamp as fit.make_objective so every stage shares one
+    # closing-gate convention (length-1 tracks carry no displacement).
+    lens_present = [int(k) for k in tracks if len(tracks[k]) > 0]
+    min_len = min((l for l in lens_present if l >= 2), default=2)
 
     spec = params if params is not None else tparams.generate_params(
         nb_states=nb_states, estimated_LocErr=0.025, D_max=10.0,

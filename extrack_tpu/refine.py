@@ -424,9 +424,10 @@ def refine_positions_fixed_states(positions, lengths, loc_err2, sig2_states,
     pm, ps2 = one_direction(positions, l2, sig2_step)
     rpos = _reverse_tracks(positions, lengths)
     rl2 = _reverse_tracks(l2, lengths)
-    rstep = _reverse_tracks(
-        jnp.concatenate([sig2_step, sig2_step[:, -1:]], axis=1), lengths
-    )[:, :-1]
+    # sig2_step[t] is the EDGE t -> t+1: the reversed track's edge k -> k+1
+    # is the original edge L-2-k, so reverse with edge counts (lengths - 1),
+    # not node counts (which shifted every backward step variance by one)
+    rstep = _reverse_tracks(sig2_step, jnp.maximum(lengths - 1, 1))
     sm, ss2 = one_direction(rpos, rl2, rstep)
     sm = _reverse_tracks(sm, lengths)
     ss2 = _reverse_tracks(ss2, lengths)
@@ -625,11 +626,11 @@ def refine_batch(batch: tdata.TrackBatch, LocErr, ds, TrMat,
         chunk = 1 << 20
     else:
         # the XLA pairwise prefix x suffix mixture is O(K^2/S) per
-        # position: chunk the batch so intermediates stay bounded (~2GB
-        # HBM; small chunks cost a dispatch+sync each — 287 of them
-        # dominated the 10^6-track wall)
-        chunk = max(256, (1 << 26) // (batch.max_len *
-                                       max(1, 2 ** (2 * frame_len - 3))))
+        # position with K = S^(frame_len-1): chunk the batch so
+        # intermediates stay bounded (~2GB HBM; small chunks cost a
+        # dispatch+sync each — 287 of them dominated the 10^6-track wall)
+        chunk = max(8, (1 << 26) // (batch.max_len *
+                                     max(1, S ** (2 * frame_len - 3))))
     if batch.batch_size > chunk:
         batch = batch.pad_batch_to(
             int(np.ceil(batch.batch_size / chunk)) * chunk)

@@ -485,32 +485,18 @@ def _bucket_take(flat2d, sel, t_max, T, width):
 
 
 def _bucket_cuts(lens_desc: np.ndarray, max_buckets: int):
-    """Cut indices minimizing total padded work sum(n_i * T_i) over <=
-    max_buckets contiguous groups of the descending length array."""
-    uniq, first = np.unique(-lens_desc, return_index=True)
-    bounds = np.append(first, len(lens_desc))    # ascending group starts
-    g = len(uniq)
-    widths = -uniq                               # descending lengths
-    INF = float("inf")
-    cost = [[INF] * (max_buckets + 1) for _ in range(g + 1)]
-    back = [[0] * (max_buckets + 1) for _ in range(g + 1)]
-    cost[0][0] = 0.0
-    for j in range(1, g + 1):
-        for b in range(1, max_buckets + 1):
-            for i in range(j):
-                if cost[i][b - 1] == INF:
-                    continue
-                c = cost[i][b - 1] + float(
-                    (bounds[j] - bounds[i]) * widths[i])
-                if c < cost[j][b]:
-                    cost[j][b] = c
-                    back[j][b] = i
-    b_best = int(np.argmin([cost[g][b] for b in range(max_buckets + 1)]))
-    cuts, j = [], g
-    for b in range(b_best, 0, -1):
-        cuts.append(int(bounds[j]))
-        j = back[j][b]
-    return sorted(cuts)
+    """Cut END indices (final = len) minimizing total padded work
+    sum(n_i * T_i) over <= max_buckets contiguous groups of the descending
+    per-track length array.  Thin adapter over the shared bucket-partition
+    DP (data.partition_cuts, which works on the ascending distinct-length
+    list): ascending distinct cut e maps to descending position N - csum[e].
+    """
+    from extrack_tpu import data as tdata
+    uniq, cnt = np.unique(lens_desc, return_counts=True)   # ascending
+    cuts = tdata.partition_cuts(uniq.tolist(), cnt.tolist(), max_buckets)
+    csum = np.concatenate([[0], np.cumsum(cnt)])
+    N = len(lens_desc)
+    return sorted(int(N - csum[e]) for e in [0] + cuts if e < len(uniq))
 
 
 def brownian_frames(key, nb_tracks: int, track_len: int, Ds, Fs, tr_mat,
@@ -571,8 +557,13 @@ def markovian_process(TrMat, initial_fractions, nb_tracks, track_len,
     TrMat = np.asarray(TrMat, float)
     cum_rows = np.cumsum(TrMat, axis=1)
     states = np.empty((nb_tracks, track_len), dtype=int)
-    states[:, 0] = np.searchsorted(np.cumsum(np.asarray(initial_fractions)),
-                                   rng.random(nb_tracks), side="right")
+    # clip before cum_rows is indexed: under-normalized fractions can make
+    # searchsorted return nb_states (the reference assigns that remainder
+    # to the last state, simulate_tracks.py:11-22)
+    states[:, 0] = np.minimum(
+        np.searchsorted(np.cumsum(np.asarray(initial_fractions)),
+                        rng.random(nb_tracks), side="right"),
+        len(TrMat) - 1)
     u = rng.random((nb_tracks, track_len - 1))
     for k in range(1, track_len):
         rows = cum_rows[states[:, k - 1]]

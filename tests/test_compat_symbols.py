@@ -149,3 +149,49 @@ def test_fit_2states_smoke():
     assert not res.params["pBL"].vary
     for key, v in tracks.items():
         np.testing.assert_allclose(preds[key].sum(-1), 1.0, atol=1e-5)
+
+
+def test_proba_cs_per_dimension_locerr():
+    """A (D,) LocErr lands on the SPATIAL axis (regression: np.atleast_3d
+    mapped it to the time axis); equal per-dim errors match the scalar."""
+    rng = np.random.default_rng(9)
+    Cs = rng.normal(0, 0.2, (4, 6, 2)).cumsum(1)
+    kw = dict(ds=np.array([0.05, 0.3]), Fs=np.array([0.5, 0.5]),
+              TrMat=np.array([[0.9, 0.1], [0.1, 0.9]]), pBL=0.05, isBL=1,
+              cell_dims=(1.0,))
+    aniso = tracking.Proba_Cs(Cs, np.array([0.02, 0.03]), **kw)
+    assert np.asarray(aniso).shape == (4,)          # T != D used to raise
+    iso = tracking.Proba_Cs(Cs, np.array([0.025, 0.025]), **kw)
+    scalar = tracking.Proba_Cs(Cs, 0.025, **kw)
+    np.testing.assert_allclose(np.asarray(iso), np.asarray(scalar),
+                               atol=1e-12)
+
+
+def test_cum_proba_cs_batch_cache():
+    """Optimizer loops reuse the uploaded batch; mutated data busts it."""
+    rng = np.random.default_rng(10)
+    tracks = {"5": rng.normal(0, 0.1, (7, 5, 2)).cumsum(1),
+              "8": rng.normal(0, 0.1, (3, 8, 2)).cumsum(1)}
+    p = xp.generate_params(nb_states=2, D_max=1.0)
+    tracking._batch_cache.clear()
+    out = tracking.cum_Proba_Cs(p, tracks, 0.02, (1.0,), None, 2, 1, 5,
+                                verbose=0)
+    out2 = tracking.cum_Proba_Cs(p, tracks, 0.02, (1.0,), None, 2, 1, 5,
+                                 verbose=0)
+    assert out == out2 and len(tracking._batch_cache) == 1
+    tracks["5"] = tracks["5"] * 1.3        # non-rigid: changes displacements
+    out3 = tracking.cum_Proba_Cs(p, tracks, 0.02, (1.0,), None, 2, 1, 5,
+                                 verbose=0)
+    assert out3 != out and len(tracking._batch_cache) == 2
+
+
+def test_markovian_process_under_normalized_fractions():
+    """searchsorted can return nb_states when the initial fractions sum to
+    < 1; the remainder goes to the last state (reference behavior) instead
+    of indexing out of bounds."""
+    tr = np.array([[0.8, 0.1, 0.1], [0.1, 0.8, 0.1], [0.05, 0.05, 0.9]])
+    s = simulate.markovian_process(tr, [0.5, 0.3, 0.1], 2000, 5, seed=0)
+    assert s.shape == (2000, 5) and s.min() >= 0 and s.max() <= 2
+    counts = np.bincount(s[:, 0], minlength=3) / 2000
+    # last state absorbs the missing 0.1 of mass
+    assert abs(counts[2] - 0.2) < 0.04

@@ -43,6 +43,40 @@ def test_fixed_states_two_state_reduces_error():
     assert np.all(np.asarray(sig)[:, :10, 0] > 0)
 
 
+def test_fixed_states_heterogeneous_exact_posterior():
+    """State-CHANGING tracks against the exact tridiagonal Gaussian
+    posterior (regression: the backward pass reversed the per-edge step
+    variances with node lengths, shifting every step variance by one edge —
+    homogeneous-variance tracks can't see it)."""
+    rng = np.random.default_rng(63)
+    T, L = 6, 4
+    pos = rng.normal(0, 0.3, (1, T, 2))
+    pos[0, L:] = 9.9                       # garbage in the pad region
+    states = np.array([[1, 0, 1, 0, 1, 0]])
+    sig2_states = np.array([0.03, 0.9])
+    le2 = 0.004
+    d2 = sig2_states[states[0, :L]]
+    s2step = 0.5 * (d2[:-1] + d2[1:])
+    prec = np.zeros((L, L))
+    for t in range(L):
+        prec[t, t] += 1.0 / le2
+    for t in range(L - 1):
+        prec[t, t] += 1.0 / s2step[t]
+        prec[t + 1, t + 1] += 1.0 / s2step[t]
+        prec[t, t + 1] -= 1.0 / s2step[t]
+        prec[t + 1, t] -= 1.0 / s2step[t]
+    cov = np.linalg.inv(prec)
+    mu, sd = refine.refine_positions_fixed_states(
+        jnp.asarray(pos), jnp.array([L]), jnp.asarray(le2),
+        jnp.asarray(sig2_states), jnp.asarray(states))
+    for dim in range(2):
+        mu_exact = cov @ (pos[0, :L, dim] / le2)
+        np.testing.assert_allclose(np.asarray(mu)[0, :L, dim], mu_exact,
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(sd)[0, :L, dim],
+                                   np.sqrt(np.diag(cov)), atol=1e-9)
+
+
 def test_save_gifs(tmp_path):
     rng = np.random.default_rng(62)
     tracks = {"6": rng.normal(0, 0.05, (2, 6, 2)).cumsum(1)}

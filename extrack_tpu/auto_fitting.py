@@ -115,7 +115,7 @@ def split_state_params(values: Dict[str, float], nb_states: int,
     norm = sum(new_Fs)
     new_Fs = [f / norm for f in new_Fs]
     rates = [float(values[k]) for k in values
-             if k.startswith("p") and len(k) == 3]
+             if k.startswith("p") and k != "pBL" and len(k) == 3]
     r0 = float(np.clip(np.mean(rates) if rates else 0.1, 0.01, 0.5))
     return tparams.generate_params(
         nb_states=nb_states + 1, LocErr_type=1,

@@ -116,6 +116,7 @@ def cmd_hist(args):
     hist = histograms.len_hist(tracks, spec, args.dt,
                                cell_dims=tuple(args.cell_dims),
                                nb_states=args.states,
+                               window=args.window,
                                input_LocErr=input_loc_err)
     out = args.output or "extrack_durations.csv"
     header = ",".join(f"state_{s}" for s in range(hist.shape[1]))
@@ -125,10 +126,9 @@ def cmd_hist(args):
     if args.plot:
         from extrack_tpu import visualization as viz
         import matplotlib.pyplot as plt
-        viz.visualize_states_durations(tracks, spec, args.dt,
-                                       cell_dims=tuple(args.cell_dims),
-                                       nb_states=args.states,
-                                       input_LocErr=input_loc_err)
+        # plot the histogram just written — recomputing would double the
+        # TPU work and (with the plot defaults) disagree with the CSV
+        viz.visualize_states_durations(tracks, spec, args.dt, hists=hist)
         plt.savefig(out.rsplit(".", 1)[0] + ".png", dpi=150)
 
 

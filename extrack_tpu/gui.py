@@ -68,6 +68,11 @@ class Session:
             self.input_loc_err = {
                 k: 1.0 / np.sqrt(np.maximum(q[k].astype(np.float64), 1e-12))
                 for k in q}
+        else:
+            # clear any per-peak errors from a previous load: a stale dict
+            # keyed for the old file would crash (or silently re-apply
+            # quality errors the user turned off)
+            self.input_loc_err = None
         return sum(v.shape[0] for v in tracks.values())
 
     def spec(self):
@@ -156,6 +161,20 @@ def default_options(analysis: str) -> dict:
     return {k: d for k, _, d, _ in ANALYSIS_OPTIONS[analysis]}
 
 
+def seeded_options(analysis: str, s: Session) -> dict:
+    """Schema defaults overridden by the main window's session fields, so
+    the 'frame_len (fit)' / 'fit iterations' / 'frame_len (labeling)'
+    entries the user typed actually seed the analysis window (they used to
+    be dead: the window's static defaults always won)."""
+    o = default_options(analysis)
+    if analysis == "Model Fitting":
+        o["nb_iters"] = s.nb_iters
+        o["frame_len"] = s.frame_len_fit
+    elif analysis == "State Labeling":
+        o["frame_len"] = s.frame_len_label
+    return o
+
+
 def parse_options(analysis: str, raw: Dict[str, str]) -> dict:
     """Parse the string fields of an analysis window into typed options."""
     out = {}
@@ -177,10 +196,32 @@ def run_fitting(s: Session, progress=print, options: Optional[dict] = None):
     one L-BFGS run usually converges, extra iterations simply restart from
     the optimum.  Starts from the parameter-editor spec when configured."""
     from extrack_tpu import fit
-    o = {**default_options("Model Fitting"),
-         "nb_iters": s.nb_iters, "frame_len": s.frame_len_fit,
-         **(options or {})}
-    params = s.params_spec.copy() if s.params_spec is not None else None
+    o = {**seeded_options("Model Fitting", s), **(options or {})}
+    if s.params_spec is not None:
+        params = s.params_spec.copy()
+    elif s.params_values:
+        # a loaded params JSON warm-starts the fit (values only; bounds and
+        # vary flags stay at their generate_params defaults)
+        from extrack_tpu import params as tparams
+        params = tparams.generate_params(
+            nb_states=s.nb_states,
+            LocErr_type=None if s.input_loc_err is not None else 1,
+            D_max=3.0)
+        vals = dict(s.params_values)
+        # D1.. are expr-tied to cumulative diffs: invert them first
+        # (missing D's default to the spec's current resolved values)
+        resolved = params.resolve()
+        targets = [float(vals.get(f"D{i}", resolved.get(f"D{i}", 0.0)))
+                   for i in range(s.nb_states)]
+        for i in range(1, s.nb_states):
+            diff = f"D{i}_minus_D{i - 1}"
+            if diff in params and f"D{i}" in vals:
+                params[diff].value = max(targets[i] - targets[i - 1], 1e-12)
+        for k, v in vals.items():
+            if k in params and params[k].expr is None:
+                params[k].value = float(v)
+    else:
+        params = None
     res = None
     for it in range(max(1, int(o["nb_iters"]))):
         method = o["first_method"] if it == 0 else "L-BFGS-B"
@@ -195,6 +236,10 @@ def run_fitting(s: Session, progress=print, options: Optional[dict] = None):
         params = res.params
         progress(f"iteration {it + 1}: logL = {res.logl:.3f}")
     s.params_values = res.params.valuesdict()
+    # subsequent analyses (and a re-opened editor) must see the FITTED
+    # optimum — spec() prefers params_spec, which used to keep pre-fit
+    # editor values and silently ignore the fit
+    s.params_spec = res.params.copy()
     out = f"{s.output_dir}/extrack_fitted_params.json"
     with open(out, "w") as fh:
         json.dump({"values": s.params_values,
@@ -209,8 +254,7 @@ def run_predictions(s: Session, progress=print,
     """State labeling (ExTrack_GUI.py:495-586) -> annotated CSV."""
     from extrack_tpu import predict
     from extrack_tpu.io import exporters
-    o = {**default_options("State Labeling"),
-         "frame_len": s.frame_len_label, **(options or {})}
+    o = {**seeded_options("State Labeling", s), **(options or {})}
     preds = predict.predict_Bs(
         s.tracks, s.dt, s.spec(), cell_dims=s.cell_dims,
         nb_states=s.nb_states, frame_len=int(o["frame_len"]),
@@ -281,6 +325,9 @@ _ANALYSES = {
     "State Lifetime Histogram": run_lifetime,
     "Position Refinement": run_refinement,
 }
+
+# serialize compute across analysis windows (never two TPU jobs at once)
+_COMPUTE_LOCK = threading.Lock()
 
 
 # ---------------------------------------------------------------------------
@@ -354,6 +401,7 @@ class AnalysisWindow:
     executes the analysis in a worker thread with the parsed options."""
 
     def __init__(self, master, session: Session, analysis: str, progress):
+        import queue
         import tkinter as tk
         from tkinter import ttk
         self.session = session
@@ -362,25 +410,30 @@ class AnalysisWindow:
         self.window = tk.Toplevel(master)
         self.window.title(analysis)
         self._vars = {}
+        self._msgq: "queue.Queue[str]" = queue.Queue()
+        self._worker: Optional[threading.Thread] = None
+        seeds = seeded_options(analysis, session)
         for r, (key, typ, default, label) in enumerate(
                 ANALYSIS_OPTIONS[analysis]):
             ttk.Label(self.window, text=label).grid(row=r, column=0,
                                                     sticky="w", padx=4,
                                                     pady=2)
             if typ is bool:
-                var = tk.BooleanVar(value=bool(default))
+                var = tk.BooleanVar(value=bool(seeds[key]))
                 ttk.Checkbutton(self.window, variable=var).grid(row=r,
                                                                 column=1)
             else:
-                var = tk.StringVar(value=str(default))
+                var = tk.StringVar(value=str(seeds[key]))
                 ttk.Entry(self.window, textvariable=var, width=12).grid(
                     row=r, column=1, padx=4)
             self._vars[key] = var
         row = len(ANALYSIS_OPTIONS[analysis])
         ttk.Button(self.window, text="Edit parameters...",
                    command=self.edit_params).grid(row=row, column=0, pady=8)
-        ttk.Button(self.window, text="Run",
-                   command=self.run_clicked).grid(row=row, column=1, pady=8)
+        self.run_btn = ttk.Button(self.window, text="Run",
+                                  command=self.run_clicked)
+        self.run_btn.grid(row=row, column=1, pady=8)
+        self._poll()
 
     def options(self):
         return parse_options(self.analysis,
@@ -390,13 +443,45 @@ class AnalysisWindow:
         ParameterWindow(self.window, self.session,
                         on_close=lambda: self.progress("parameters updated"))
 
+    def _poll(self):
+        """Drain worker messages on the Tk main thread (Tkinter widgets are
+        not thread-safe: the worker must never touch them directly)."""
+        import queue
+        try:
+            while True:
+                self.progress(self._msgq.get_nowait())
+        except queue.Empty:
+            pass
+        if self._worker is not None and not self._worker.is_alive():
+            self._worker = None
+            self.run_btn.state(["!disabled"])
+        try:
+            self.window.after(150, self._poll)
+        except Exception:
+            pass                               # window destroyed
+
     def run_clicked(self):
+        if self._worker is not None and self._worker.is_alive():
+            self.progress("a computation is already running")
+            return
         opts = self.options()
         fn = _ANALYSES[self.analysis]
         self.progress(f"{self.analysis}: {opts}")
-        threading.Thread(
-            target=lambda: fn(self.session, self.progress, options=opts),
-            daemon=True).start()
+        self.run_btn.state(["disabled"])
+        post = self._msgq.put
+
+        def work():
+            # one computation at a time, across ALL windows: concurrent
+            # jobs through the TPU tunnel contend catastrophically
+            # (CLAUDE.md: a 36 s fit took 1093 s under a concurrent job)
+            with _COMPUTE_LOCK:
+                try:
+                    fn(self.session, post, options=opts)
+                except Exception as exc:
+                    post(f"ERROR: {exc!r}")
+
+        self._worker = threading.Thread(target=work, daemon=True)
+        self._worker.start()
 
 
 def launch():

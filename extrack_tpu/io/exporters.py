@@ -105,10 +105,15 @@ def extrack_2_pandas(all_tracks, pred_Bs, frames=None, opt_metrics=None
 
 
 def extrack_2_matrix(all_tracks, pred_Bs, dt, all_frames=None) -> np.ndarray:
-    """Flat numeric matrix [x, y(, z), track_id, frame, pred_0..].
-    Reference: exporters.py:28-53."""
+    """Flat numeric matrix [x, y(, z), track_id, frame, pred_0..] — the
+    reference's column order (exporters.py:28-53 concatenates positions,
+    track IDs, frames, predictions), which differs from the DataFrame's
+    FRAME-before-TRACK_ID layout."""
     df = extrack_2_pandas(all_tracks, pred_Bs, frames=all_frames)
-    return df.to_numpy(dtype=np.float64)
+    pos = [c for c in ("POSITION_X", "POSITION_Y", "POSITION_Z")
+           if c in df.columns]
+    preds = sorted(c for c in df.columns if c.startswith("pred_"))
+    return df[pos + ["TRACK_ID", "FRAME"] + preds].to_numpy(np.float64)
 
 
 # the reference ships two implementations of the same flattening

@@ -109,7 +109,8 @@ def read_table(paths,
                 raise ValueError(
                     f"column {c!r} is not numerical — check for extra "
                     "header rows in the file")
-        if isinstance(id_col, (list, tuple)):
+        cur_id = id_col          # never reassign id_col: the next file's
+        if isinstance(id_col, (list, tuple)):     # iteration re-reads it
             na = pd.isna(df[list(id_col)]).any(axis=1)
             for c in id_col:
                 na |= df[c].astype(str) == "None"
@@ -118,7 +119,7 @@ def read_table(paths,
             for c in id_col[1:]:
                 composite = composite + "_" + df[c].astype(str)
             df = df.assign(__track_id__=composite)
-            id_col = "__track_id__"
+            cur_id = "__track_id__"
         else:
             na = pd.isna(df[id_col]) | (df[id_col].astype(str) == "None")
             if na.any():
@@ -131,8 +132,8 @@ def read_table(paths,
                         max_id + 1, max_id + 1 + int(na.sum()))
                 except (ValueError, TypeError):
                     df = df[~na]
-        df = df.sort_values([id_col, frame_col], kind="stable")
-        codes, _ = pd.factorize(df[id_col], sort=False)
+        df = df.sort_values([cur_id, frame_col], kind="stable")
+        codes, _ = pd.factorize(df[cur_id], sort=False)
         all_xy.append(df[colnames[:nb_dims]].to_numpy(np.float64))
         all_fr.append(df[frame_col].to_numpy(np.float64))
         all_id.append(codes + id_offset)
@@ -197,12 +198,13 @@ def _read_table_native(paths, lengths, dist_th, frames_boundaries, sep,
     if np.isnan(raw[:, :nb_dims + 1]).any():
         return None                      # non-numeric x/y/frame cells
     id_vals = raw[:, nb_dims + 1]
-    nan_ids = np.isnan(id_vals)
-    if nan_ids.any():
-        # isolated peaks get fresh unique IDs (readers.py:153-157)
-        max_id = np.nanmax(id_vals) if (~nan_ids).any() else 0.0
-        id_vals = id_vals.copy()
-        id_vals[nan_ids] = max_id + 1 + np.arange(nan_ids.sum())
+    if np.isnan(id_vals).any():
+        # a numeric parser can't tell blank/'None' IDs (isolated peaks,
+        # readers.py:153-157) from a non-numeric ID column ('Track_0001');
+        # treating string IDs as isolated peaks would shatter every track
+        # into dropped singletons — silent total data loss.  The pandas
+        # path resolves both correctly.
+        return None
     order = np.lexsort((raw[:, nb_dims], id_vals))
     raw = raw[order]
     id_vals = id_vals[order]

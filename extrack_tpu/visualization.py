@@ -29,18 +29,22 @@ def visualize_states_durations(all_tracks,
                                steps: bool = False,
                                input_LocErr=None,
                                window: int = 7,
+                               hists: Optional[np.ndarray] = None,
                                ax=None):
     """Log-scale plot of the posterior state-duration distributions.
     Reference: visualization.py:6-59.  Returns the histogram array.
     ``window`` is forwarded to len_hist (the fusion window of the default
-    engine; the GUI's frame_len option maps here)."""
-    if long_tracks:
-        all_tracks = {k: v for k, v in all_tracks.items()
-                      if int(k) >= nb_steps_lim} or all_tracks
-    hists = thist.len_hist(all_tracks, params, dt, cell_dims=cell_dims,
-                           nb_states=nb_states, max_nb_states=max_nb_states,
-                           workers=workers, input_LocErr=input_LocErr,
-                           window=window)
+    engine; the GUI's frame_len option maps here).  Pass a precomputed
+    ``hists`` (T, S) array to plot it directly without recomputing."""
+    if hists is None:
+        if long_tracks:
+            all_tracks = {k: v for k, v in all_tracks.items()
+                          if int(k) >= nb_steps_lim} or all_tracks
+        hists = thist.len_hist(all_tracks, params, dt, cell_dims=cell_dims,
+                               nb_states=nb_states,
+                               max_nb_states=max_nb_states,
+                               workers=workers, input_LocErr=input_LocErr,
+                               window=window)
     scale = 1.0 if steps else dt
     unit = "step" if steps else "s"
     if ax is None:
@@ -93,8 +97,10 @@ def visualize_tracks(DATA, track_length_range=(10, np.inf), figsize=(5, 5),
         ids = ids[:max_tracks]
     for tid in ids:
         track = DATA[DATA["TRACK_ID"] == tid]
-        if track_length_range[0] < len(track) <= track_length_range[1] \
-                or len(track) >= track_length_range[0]:
+        # the reference's own comparison (visualization.py:73) reduces to
+        # len >= lower bound — its upper bound never applies; honor the
+        # documented range instead (DEVIATIONS.md)
+        if track_length_range[0] <= len(track) <= track_length_range[1]:
             colors = _state_colors(track[cols].to_numpy())
             plt.plot(track["POSITION_X"], track["POSITION_Y"], "k:",
                      alpha=0.2)

@@ -132,3 +132,61 @@ def test_session_uses_edited_spec(csv_path, tmp_path):
     assert res.params["LocErr"].value == pytest.approx(
         s.params_spec["LocErr"].value)
     assert res.params["D1"].value == pytest.approx(0.08, abs=0.03)
+
+
+def test_fit_updates_spec_and_seeded_options(csv_path, tmp_path):
+    """After a fit, spec() must return the FITTED optimum even when a
+    pre-fit editor spec exists (regression: params_spec kept pre-fit editor
+    values and later analyses silently ignored the fit).  Also: the main
+    window's frame_len/nb_iters fields seed the analysis options."""
+    from extrack_tpu import params as xp
+    s = gui.Session(path=csv_path, dt=0.02, min_len=4, max_len=9,
+                    nb_states=2, cell_dims=(0.5,), frame_len_fit=3,
+                    frame_len_label=4, nb_iters=2, output_dir=str(tmp_path))
+    s.load()
+    s.params_spec = xp.generate_params(nb_states=2, LocErr_type=1,
+                                       D_max=3.0)     # "edited" pre-fit
+    pre_d1 = s.params_spec["D1"].value
+    res = gui.run_fitting(s, progress=lambda *_: None,
+                          options={"nb_iters": 1, "compute_errors": False})
+    assert s.spec()["D1"].value == pytest.approx(res.params["D1"].value)
+    assert s.spec()["D1"].value != pytest.approx(pre_d1)
+
+    o = gui.seeded_options("Model Fitting", s)
+    assert o["nb_iters"] == 2 and o["frame_len"] == 3
+    assert gui.seeded_options("State Labeling", s)["frame_len"] == 4
+
+
+def test_load_clears_stale_input_loc_err(csv_path):
+    s = gui.Session(path=csv_path, dt=0.02, min_len=4, max_len=9)
+    s.input_loc_err = {"9": np.full((1, 9), 0.05)}   # from a previous load
+    s.load()
+    assert s.input_loc_err is None
+
+
+def test_params_json_warm_starts_fit(csv_path, tmp_path):
+    """A loaded params JSON (session.params_values, no editor spec) must
+    seed run_fitting's starting point (regression: it was ignored)."""
+    s = gui.Session(path=csv_path, dt=0.02, min_len=4, max_len=9,
+                    nb_states=2, cell_dims=(0.5,),
+                    params_values={"D1": 0.123, "LocErr": 0.033},
+                    output_dir=str(tmp_path))
+    s.load()
+    captured = {}
+    import extrack_tpu.fit as tfit
+    orig = tfit.param_fitting
+
+    def spy(tracks, dt, params=None, **kw):
+        vals = params.resolve()            # D1 is expr-tied (cumulative)
+        captured["D1"] = vals["D1"]
+        captured["LocErr"] = vals["LocErr"]
+        return orig(tracks, dt, params=params, **kw)
+
+    try:
+        tfit.param_fitting = spy
+        gui.run_fitting(s, progress=lambda *_: None,
+                        options={"nb_iters": 1, "compute_errors": False})
+    finally:
+        tfit.param_fitting = orig
+    assert captured["D1"] == pytest.approx(0.123)
+    assert captured["LocErr"] == pytest.approx(0.033)

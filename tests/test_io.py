@@ -132,3 +132,110 @@ def test_visualization_smoke(tmp_path):
     fig = viz.plot_tracks(df, nb_subplots=(2, 3))
     fig.savefig(tmp_path / "gallery.png")
     assert (tmp_path / "gallery.png").stat().st_size > 0
+
+
+def test_extrack_2_matrix_reference_column_order():
+    """[x, y, track_id, frame, preds] — the reference concatenates
+    positions, IDs, frames, preds (exporters.py:28-53); regression: the
+    DataFrame's FRAME-before-TRACK_ID layout leaked through."""
+    tracks = {"3": np.arange(12, dtype=float).reshape(2, 3, 2)}
+    preds = {"3": np.dstack([np.full((2, 3), 0.25), np.full((2, 3), 0.75)])}
+    frames = {"3": np.array([[5, 6, 7], [8, 9, 10]], dtype=float)}
+    m = exporters.extrack_2_matrix(tracks, preds, 0.02, all_frames=frames)
+    assert m.shape == (6, 6)
+    np.testing.assert_allclose(m[:, 0], [0, 2, 4, 6, 8, 10])    # x
+    np.testing.assert_allclose(m[:, 2], [0, 0, 0, 1, 1, 1])     # track_id
+    np.testing.assert_allclose(m[:, 3], [5, 6, 7, 8, 9, 10])    # frame
+    np.testing.assert_allclose(m[:, 4], 0.25)                   # pred_0
+
+
+def test_read_table_composite_id_multi_file(tmp_path):
+    """Composite (multi-column) track IDs over SEVERAL files (regression:
+    the second file crashed because id_col was reassigned in the loop)."""
+    import pandas as pd
+    rng = np.random.default_rng(8)
+    paths = []
+    for f in range(2):
+        rows = []
+        for tid in range(3):
+            for j in range(6):
+                rows.append({"POSITION_X": rng.normal(), "POSITION_Y":
+                             rng.normal(), "FRAME": j, "TRACK_ID": tid,
+                             "FOV": f})
+        p = str(tmp_path / f"f{f}.csv")
+        pd.DataFrame(rows).to_csv(p, index=False)
+        paths.append(p)
+    tracks, frames, _ = readers.read_table(
+        paths, lengths=(6,), remove_no_disp=False,
+        colnames=("POSITION_X", "POSITION_Y", "FRAME",
+                  ["TRACK_ID", "FOV"]))
+    assert tracks["6"].shape == (6, 6, 2)      # 3 tracks x 2 files
+
+
+def test_read_table_string_ids_engine_auto(tmp_path):
+    """Non-numeric track IDs must flow through the pandas path under
+    engine='auto' (regression: the native parser turned every string ID
+    into an isolated peak — silent total data loss)."""
+    import pandas as pd
+    rng = np.random.default_rng(9)
+    rows = []
+    for tid in range(4):
+        for j in range(7):
+            rows.append({"POSITION_X": rng.normal(),
+                         "POSITION_Y": rng.normal(),
+                         "FRAME": j, "TRACK_ID": f"Track_{tid:04d}"})
+    p = str(tmp_path / "str_ids.csv")
+    pd.DataFrame(rows).to_csv(p, index=False)
+    tracks, _, _ = readers.read_table(p, lengths=(7,),
+                                      remove_no_disp=False, engine="auto")
+    assert tracks["7"].shape == (4, 7, 2)
+
+
+def test_visualize_tracks_length_range_upper_bound():
+    """track_length_range's upper bound filters long tracks (the reference's
+    own comparison never applied it — DEVIATIONS.md 11)."""
+    import pandas as pd
+    from extrack_tpu import visualization as viz
+    rows = []
+    for tid, n in enumerate((4, 10)):
+        for j in range(n):
+            rows.append({"TRACK_ID": tid, "POSITION_X": float(j),
+                         "POSITION_Y": 0.0, "pred_0": 0.5, "pred_1": 0.5})
+    df = pd.DataFrame(rows)
+    fig = viz.visualize_tracks(df, track_length_range=(3, 5))
+    pts = sum(len(c.get_offsets()) for ax in fig.axes
+              for c in ax.collections)
+    assert pts == 4                      # only the 4-point track plotted
+    import matplotlib.pyplot as plt
+    plt.close("all")
+
+
+def test_cli_hist_forwards_window(monkeypatch, tmp_path):
+    """The histogram subcommand forwards --window to len_hist (regression:
+    it was silently ignored) and plots the histogram it just computed."""
+    import argparse
+    from extrack_tpu import cli, histograms
+    seen = {}
+
+    def fake_len_hist(tracks, spec, dt, **kw):
+        seen.update(kw)
+        return np.ones((5, 2))
+
+    def fake_load(args):
+        return ({"6": np.zeros((1, 6, 2))}, {"6": np.arange(6)[None]}, None)
+
+    monkeypatch.setattr(histograms, "len_hist", fake_len_hist)
+    monkeypatch.setattr(cli, "_load", fake_load)
+    seen_plot = {}
+    from extrack_tpu import visualization as viz
+    monkeypatch.setattr(viz, "visualize_states_durations",
+                        lambda *a, **kw: seen_plot.update(kw))
+    args = argparse.Namespace(
+        path="x.csv", dt=0.02, min_len=5, max_len=40, dist_th=np.inf,
+        x_col="POSITION_X", y_col="POSITION_Y", frame_col="FRAME",
+        id_col="TRACK_ID", quality_column=None, states=2, cell_dims=[1.0],
+        window=11, params=None, output=str(tmp_path / "h.csv"), plot=True,
+        verbose=0)
+    cli.cmd_hist(args)
+    assert seen["window"] == 11
+    assert "hists" in seen_plot and seen_plot["hists"].shape == (5, 2)

@@ -326,12 +326,7 @@ def forward_pallas(positions,
     G = K // A
     P = S ** (n + 1)
     sig2 = tables.sig2
-    sig2_rows = sig2.reshape(-1, sig2.shape[-1]).shape[0] // (
-        sig2.shape[0] if sig2.ndim == 3 else 1)
-    per_step = sig2_rows != 1
-    if per_step and sig2_rows != T - 1:
-        raise NotImplementedError(
-            f"per-step sig2 must have T-1={T - 1} rows, got {sig2_rows}")
+    per_step = classify_sig2(sig2, T)
 
     f32 = jnp.float32
     lp0, s20, lt, lsurv, end, sig2v = [
@@ -397,6 +392,21 @@ def forward_pallas(positions,
     )(xs, l2, lengths, isbl, lp0, s20, lt, lsurv, end, sig2v,
       ltn, s2n, lsn, endn)
     return out[0, :B]
+
+
+def classify_sig2(sig2, T):
+    """True when the displacement-variance table varies per STEP or per
+    TRACK — either way the kernel needs the streamed lane table.  Shared by
+    all four kernels.  The flat row count alone misclassified per-track dt
+    at T=2: a (B, 1, P) table has ONE step row per track yet still differs
+    across lanes, and the broadcast path would score every track with
+    track 0's dt.  Also validates the step-row count."""
+    batch = sig2.shape[0] if sig2.ndim == 3 else 1
+    step_rows = sig2.reshape(-1, sig2.shape[-1]).shape[0] // batch
+    if step_rows not in (1, T - 1):
+        raise NotImplementedError(
+            f"per-step sig2 must have T-1={T - 1} rows, got {step_rows}")
+    return step_rows != 1 or batch != 1
 
 
 def _sig2_stream(sig2, T, P, B, Bp, BLK, dtype):

@@ -29,7 +29,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from extrack_tpu.core.tables import ModelTables
-from extrack_tpu.ops.pallas_engine import build_next_tables, build_slot_tables
+from extrack_tpu.ops.pallas_engine import (build_next_tables,
+                                            build_slot_tables, classify_sig2)
 
 _TINY = 1e-30
 
@@ -581,12 +582,7 @@ def neg_log_likelihood(positions, lengths, is_bleached, tables: ModelTables,
     P = S ** (n + 1)
     f32 = jnp.float32
     sig2 = tables.sig2
-    sig2_rows = sig2.reshape(-1, sig2.shape[-1]).shape[0] // (
-        sig2.shape[0] if sig2.ndim == 3 else 1)
-    per_step = sig2_rows != 1
-    if per_step and sig2_rows != T - 1:
-        raise NotImplementedError(
-            f"per-step sig2 must have T-1={T - 1} rows, got {sig2_rows}")
+    per_step = classify_sig2(sig2, T)
     max_blk = supported_block(T, D, K, A)
     if max_blk < 128:
         raise NotImplementedError(

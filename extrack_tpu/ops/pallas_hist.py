@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from extrack_tpu.core.engine import make_register_spec
 from extrack_tpu.core.tables import ModelTables
 from extrack_tpu.ops.pallas_engine import (VMEM_LIMIT, _expand_rows,
+                                            classify_sig2,
                                            _sig2_stream, build_slot_tables)
 
 _TINY = 1e-30
@@ -120,13 +121,15 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
             new_m[d] = (md * l2t + x * s2d) * inv
             tail[d] = l2t * s2d * inv
         lc = -0.5 * jnp.log(prod) - quad
-        fin = lp + isbl * endv_ref[:] + lc
 
         run = run_sc[:]                                   # (K, T, BLK)
         histc = hist_sc[:]                                # (K, ST, BLK)
 
         # ---- harvest tracks ending at this frame -------------------------
         def harvest(_):
+            # fin only matters when the cond fires: two (K, BLK) adds
+            # saved on every other step
+            fin = lp + isbl * endv_ref[:] + lc
             mxf = jnp.max(fin, axis=0, keepdims=True)
             e = jnp.exp(fin - mxf)
             pbar = e / jnp.maximum(jnp.sum(e, axis=0, keepdims=True),
@@ -268,12 +271,7 @@ def hist_pallas(positions,
     ST = S * TP
     P = S * S
     sig2 = tables.sig2
-    sig2_rows = sig2.reshape(-1, sig2.shape[-1]).shape[0] // (
-        sig2.shape[0] if sig2.ndim == 3 else 1)
-    per_step = sig2_rows != 1
-    if per_step and sig2_rows != T - 1:
-        raise NotImplementedError(
-            f"per-step sig2 must have T-1={T - 1} rows, got {sig2_rows}")
+    per_step = classify_sig2(sig2, T)
 
     f32 = jnp.float32
     lp0, s20, lt, lsurv, end, sig2v = [

@@ -38,6 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from extrack_tpu.core.tables import ModelTables
 from extrack_tpu.core.engine import make_register_spec
 from extrack_tpu.ops.pallas_engine import (VMEM_LIMIT, _expand_rows,
+                                            classify_sig2,
                                            _sig2_stream, build_next_tables,
                                            build_slot_tables)
 
@@ -114,10 +115,13 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
             new_m[d] = (md * l2t + x * s2d) * inv
             tail[d] = l2t * s2d * inv
         lc = -0.5 * jnp.log(prod) - quad
-        fin = lp + isbl * endv_ref[:] + lc               # (K, BLK)
+        # fin = lp + isbl*endv + lc is consumed only by the two gated
+        # branches below — computing it there skips two (K, BLK) adds on
+        # every non-firing step
 
         # closing logL for 2-frame tracks (identical to pallas_engine)
         def close_l2(_):
+            fin = lp + isbl * endv_ref[:] + lc           # (K, BLK)
             mx = jnp.max(fin, axis=0, keepdims=True)
             lse = mx + jnp.log(jnp.sum(jnp.exp(fin - mx), axis=0,
                                        keepdims=True))
@@ -206,6 +210,7 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
 
         # ---- posteriors of tracks ending at this frame -------------------
         def harvest(_):
+            fin = lp + isbl * endv_ref[:] + lc           # (K, BLK)
             mxf = jnp.max(fin, axis=0, keepdims=True)
             e = jnp.exp(fin - mxf)
             pbar = e / jnp.maximum(jnp.sum(e, axis=0, keepdims=True),
@@ -279,12 +284,7 @@ def predict_pallas(positions,
     G = K // A
     P = S * S
     sig2 = tables.sig2
-    sig2_rows = sig2.reshape(-1, sig2.shape[-1]).shape[0] // (
-        sig2.shape[0] if sig2.ndim == 3 else 1)
-    per_step = sig2_rows != 1
-    if per_step and sig2_rows != T - 1:
-        raise NotImplementedError(
-            f"per-step sig2 must have T-1={T - 1} rows, got {sig2_rows}")
+    per_step = classify_sig2(sig2, T)
 
     f32 = jnp.float32
     lp0, s20, lt, lsurv, end, sig2v = [

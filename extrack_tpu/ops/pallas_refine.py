@@ -156,6 +156,13 @@ def _kernel(xs_ref, l2_ref, len_ref, lp0f_ref, ltf_ref, lp0r_ref, ltr_ref,
         rlp_sc[:] = jnp.where(mask, jnp.broadcast_to(lp0_ref[:], (K, BLK)),
                               rlp_sc[:])
 
+    # zero-init the outputs: the passes below only write rows t < lmax, so
+    # blocks whose longest track is shorter than T would otherwise return
+    # uninitialized VMEM in the padded rows (interpret mode zero-fills,
+    # real TPUs do not)
+    mu_ref[:] = jnp.zeros((T * D, BLK), jnp.float32)
+    sig_ref[:] = jnp.zeros((T * D, BLK), jnp.float32)
+
     # ---- pass 1: suffix scan on flipped rows, registers stashed ----------
     for d in range(D):
         rm_sc[d] = jnp.zeros((K, BLK), jnp.float32)

@@ -66,6 +66,12 @@ def global_batch(local: tdata.TrackBatch,
     sharding = NamedSharding(mesh, P(DATA_AXIS))
     n_local_dev = max(1, len(mesh.local_devices))
     b = local.batch_size
+    # every process must pad to the SAME local row count, or the inferred
+    # global shapes disagree across hosts and the SPMD program diverges
+    # (an uneven process_slice split makes local batch sizes differ by 1)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        b = int(np.max(multihost_utils.process_allgather(np.int64(b))))
     local = local.pad_batch_to(int(np.ceil(b / n_local_dev)) * n_local_dev)
 
     def put(x):
@@ -74,4 +80,14 @@ def global_batch(local: tdata.TrackBatch,
         x = np.asarray(x)
         return jax.make_array_from_process_local_data(sharding, x)
 
-    return tdata.TrackBatch(*(put(c) for c in local.tree_flatten()[0]))
+    out = tdata.TrackBatch(*(put(c) for c in local.tree_flatten()[0]))
+    # host-side GLOBAL lengths cache: min_len / has_len2 are static program
+    # arguments, so every process must derive them from the same array (and
+    # host_lengths on a non-fully-addressable global array would crash)
+    lens_local = np.asarray(local.lengths)
+    if jax.process_count() > 1:
+        out.np_lengths = np.concatenate(
+            list(multihost_utils.process_allgather(lens_local)))
+    else:
+        out.np_lengths = lens_local
+    return out

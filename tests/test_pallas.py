@@ -109,3 +109,43 @@ def test_pallas_padded_time_and_batch():
     np.testing.assert_allclose(np.asarray(got)[:B], np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(got)[B:], 0.0, atol=1e-7)
+
+
+def test_pallas_per_track_dt_two_frames():
+    """T=2 with PER-TRACK dt: the (B, 1, P) sig2 table has one step row per
+    track but still differs across lanes (regression: the row-count
+    classifier broadcast track 0's dt to the whole batch).  Covers all four
+    kernels through their public wrappers."""
+    import jax
+    from extrack_tpu import data as tdata, params as xp
+    from extrack_tpu.ops import pallas_grad, pallas_hist, pallas_predict
+    rng = np.random.default_rng(77)
+    pos = rng.normal(0, 0.3, (6, 2, 2))
+    dtv = {"2": np.concatenate([np.full((3, 1), 0.02),
+                                np.full((3, 1), 0.5)])}
+    batch = tdata.from_dict({"2": pos}, dt=dtv)
+    vals = xp.generate_params(nb_states=2, D_max=1.0).resolve()
+    Ds, Fs, rates, loc_err, pBL = xp.extract_arrays(vals, 2)
+    tb = tables.build_tables(Ds, loc_err, Fs, rates, pBL, batch.dt,
+                             cell_dims=(1.0,))
+    args = (batch.positions, batch.lengths, batch.is_bleached, tb)
+    ref = np.asarray(engine.forward(*args, window=5, min_len=2))
+    got = np.asarray(pallas_engine.forward_pallas(*args, window=5,
+                                                  min_len=2,
+                                                  interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+    lo, _ = pallas_predict.predict_pallas(*args, window=5, min_len=2,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(lo), ref, rtol=1e-5)
+    hist = pallas_hist.hist_pallas(*args, window=5, min_len=2,
+                                   interpret=True)
+    assert np.isfinite(np.asarray(hist)).all()
+    # gradient kernel: value must match the forward parity too
+    pallas_grad.INTERPRET = True
+    try:
+        val = pallas_grad.neg_log_likelihood(
+            batch.positions, batch.lengths, batch.is_bleached, tb,
+            window=5, min_len=2)
+        np.testing.assert_allclose(float(val), -ref.sum(), rtol=1e-5)
+    finally:
+        pallas_grad.INTERPRET = False

@@ -28,7 +28,7 @@ T, D, W, S = 10, 2, 6, 2
 MIN_LEN = 3
 
 
-def _reference_baseline_loglik(xs, lengths, isbl, W):
+def _reference_baseline_loglik(xs, lengths, W):
     """Reference-algorithm baseline, grouped by track length (the
     growing-register recursion takes rectangular full-length tracks, as
     the reference's own length-bucketed driver does)."""
@@ -127,7 +127,7 @@ def main():
     dt_np = np.inf
     for _ in range(3):
         t0 = time.perf_counter()
-        logl_np = _reference_baseline_loglik(xs_np, len_np, None, W)
+        logl_np = _reference_baseline_loglik(xs_np, len_np, W)
         dt_np = min(dt_np, time.perf_counter() - t0)
     np_tracks_per_sec = len(len_np) / dt_np
 

@@ -15,12 +15,14 @@ the NumPy transcriptions in extrack_tpu.baselines, so the comparison is
 pruning-rule-only.  Run: python benchmarks/pruning_comparison.py
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))   # repo root, cwd-independent
 
 from extrack_tpu import baselines  # noqa: E402
 
@@ -111,11 +113,11 @@ def main():
         shifts[pname] = row
         print(json.dumps({f"argmax {pname}": row}), flush=True)
 
-    with open("benchmarks/pruning_comparison.json", "w") as f:
+    with open(os.path.join(_HERE, "pruning_comparison.json"), "w") as f:
         json.dump({"logl_error_vs_exact": results,
                    "argmax_shift": shifts,
                    "config": dict(B=B, T=T, D=D)}, f, indent=1)
-    print("saved benchmarks/pruning_comparison.json")
+    print("saved", os.path.join(_HERE, "pruning_comparison.json"))
 
 
 if __name__ == "__main__":

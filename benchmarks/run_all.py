@@ -222,21 +222,35 @@ def main():
          bench_model_selection),
     ]
     wanted = args.only.split(",") if args.only else None
+    out = os.path.join(os.path.dirname(__file__), "results.json")
+
+    def dump():
+        # incremental: hours of completed TPU measurements must survive a
+        # later case failing
+        if wanted and os.path.exists(out):
+            with open(out) as fh:
+                prev = json.load(fh)
+            prev.update(RESULTS)
+            results = prev
+        else:
+            results = RESULTS
+        with open(out, "w") as fh:
+            json.dump(results, fh, indent=1)
+
+    failures = []
     for name, prep, fn in cases:
         if wanted and not any(w in name for w in wanted):
             continue
-        fn(prep())
-    out = os.path.join(os.path.dirname(__file__), "results.json")
-    if wanted and os.path.exists(out):
-        with open(out) as fh:
-            prev = json.load(fh)
-        prev.update(RESULTS)
-        results = prev
-    else:
-        results = RESULTS
-    with open(out, "w") as fh:
-        json.dump(results, fh, indent=1)
+        try:
+            fn(prep())
+        except Exception as exc:       # isolate: record, keep the rest
+            print(f"FAILED {name}: {exc!r}")
+            RESULTS[name] = {"error": repr(exc)}
+            failures.append(name)
+        dump()
     print(f"wrote {out}")
+    if failures:
+        raise SystemExit(f"benchmark case(s) failed: {', '.join(failures)}")
 
 
 if __name__ == "__main__":

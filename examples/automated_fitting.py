@@ -15,7 +15,6 @@ sys.path.insert(0, os.path.dirname(
 import argparse
 import glob
 import json
-import os
 
 import numpy as np
 
@@ -41,6 +40,9 @@ summary = {}
 for exp in experiments:
     name = os.path.basename(exp)
     xmls = sorted(glob.glob(os.path.join(exp, "*.xml")))
+    if not xmls:
+        print(f"[{name}] no XML files — skipping")
+        continue
     groups = [[x] for x in xmls] if args.per_replicate else [xmls]
     for gi, group in enumerate(groups):
         tag = name if not args.per_replicate else f"{name}_rep{gi}"

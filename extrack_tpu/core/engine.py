@@ -45,7 +45,12 @@ from jax.scipy.special import logsumexp
 from extrack_tpu.core.tables import (ModelTables, branch_log_trans,
                                      init_log_prob, state_codes)
 
-_TINY = 1e-300
+def _tiny(dtype):
+    """Division/log guard that does not underflow in the WORKING dtype:
+    the literal 1e-300 is 0.0 in float32 (the production TPU dtype), which
+    turned an all-(-inf) fusion group (e.g. a forbidden transition's
+    log_trans) into wn = 0/0 = NaN poisoning the whole register."""
+    return jnp.finfo(dtype).tiny
 
 
 class RegisterSpec(NamedTuple):
@@ -85,6 +90,39 @@ def _gather_rows(table, idx):
     return jnp.take(table, jnp.asarray(idx), axis=-1)
 
 
+def branch_fuse(lp, lc, new_m, tail, sig2_ag, gate, lt_b, lsurv_b, G, A):
+    """Branch into the S^n children and fuse the oldest digit by weighted
+    moment match — the register-transport step shared by the likelihood
+    scan below and histograms.window_segment_histogram (one definition:
+    this math is correctness-critical and oracle-anchored at 1e-10).
+
+    lp/lc: (K, B); new_m/tail: (D, K, B) posterior means/variance tails;
+    sig2_ag: (A, G, 1|B) child displacement variances; lt_b (A, G, 1, 1)
+    and lsurv_b (A, 1, 1, 1) broadcast tables.  Returns (lp_child
+    (A,G,O,B), wn (A,G,O,B), lp_new (A,G,B), m_f/tail_f/s2_new (D,A,G,B)).
+    """
+    D = new_m.shape[0]
+    B = lp.shape[-1]
+    base = (lp + lc).reshape(G, A, B)                     # o = axis 1
+    lp_child = base[None] + lt_b + gate * lsurv_b         # (A,G,O,B)
+    mx = jnp.max(lp_child, axis=2, keepdims=True)
+    safe = jnp.where(jnp.isfinite(mx), mx, 0.0)
+    w = jnp.exp(lp_child - safe)
+    sw = jnp.sum(w, axis=2)
+    tiny = _tiny(sw.dtype)
+    wn = w / jnp.maximum(sw[:, :, None], tiny)            # (A,G,O,B)
+    lp_new = (jnp.squeeze(safe, 2) + jnp.log(jnp.maximum(sw, tiny))
+              + jnp.where(jnp.isfinite(mx[:, :, 0]), 0.0, -jnp.inf))
+    new_mv = new_m.reshape(D, G, A, B)
+    tailv = tail.reshape(D, G, A, B)
+    m_f = sum(wn[None, :, :, o] * new_mv[:, None, :, o]
+              for o in range(A))                          # (D,A,G,B)
+    tail_f = sum(wn[None, :, :, o] * tailv[:, None, :, o]
+                 for o in range(A))
+    s2_new = sig2_ag[None] + tail_f
+    return lp_child, wn, lp_new, m_f, tail_f, s2_new
+
+
 def _moment_match(lp, values):
     """Fuse the trailing axis of ``lp`` (log weights) by logsumexp while
     moment-matching each array in ``values`` (weighted mean).
@@ -95,8 +133,9 @@ def _moment_match(lp, values):
     safe_mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
     w = jnp.exp(lp - safe_mx)
     sw = jnp.sum(w, axis=-1, keepdims=True)
-    wn = w / jnp.maximum(sw, _TINY)
-    lp_new = jnp.squeeze(safe_mx, -1) + jnp.log(jnp.maximum(sw[..., 0], _TINY)) \
+    tiny = _tiny(sw.dtype)
+    wn = w / jnp.maximum(sw, tiny)
+    lp_new = jnp.squeeze(safe_mx, -1) + jnp.log(jnp.maximum(sw[..., 0], tiny)) \
         + jnp.where(jnp.isfinite(mx[..., 0]), 0.0, -jnp.inf)
     fused = [jnp.einsum('...o,...od->...d', wn, v) for v in values]
     return lp_new, fused, wn
@@ -213,8 +252,9 @@ def forward(positions,
         tail = l2_t[:, None, :] * s2 / tot                # (D,K,B)
 
         gate = (t + 1 >= min_len).astype(dtype)
-        base = (lp + lc).reshape(G, A, B)                 # o = axis 1
-        lp_child = (base[None] + lt_b + gate * lsurv_b)   # (A,G,O,B)
+        # branch + fuse via the shared transport step
+        lp_child, wn, lp_new, m_f, tail_f, s2_new = branch_fuse(
+            lp, lc, new_m, tail, sig2_ag, gate, lt_b, lsurv_b, G, A)
 
         # -- look-ahead closing on the PRE-fusion children ------------------
         # tracks ending at frame t+1 integrate it against the width-(W+n)
@@ -229,20 +269,6 @@ def forward(positions,
         fin_n = lp_child + isbl * end_a[:, None, None, None] + lcn
         logl = logl + jnp.where(t == lengths - 2,
                                 logsumexp(fin_n, axis=(0, 1, 2)), 0.0)
-
-        # fuse the oldest sub-states: weighted moment match over O
-        mx = jnp.max(lp_child, axis=2, keepdims=True)
-        safe = jnp.where(jnp.isfinite(mx), mx, 0.0)
-        w = jnp.exp(lp_child - safe)
-        sw = jnp.sum(w, axis=2)
-        wn = w / jnp.maximum(sw[:, :, None], _TINY)       # (A,G,O,B)
-        lp_new = (jnp.squeeze(safe, 2) + jnp.log(jnp.maximum(sw, _TINY))
-                  + jnp.where(jnp.isfinite(mx[:, :, 0]), 0.0, -jnp.inf))
-        m_f = sum(wn[None, :, :, o] * new_mv4[:, None, :, o]
-                  for o in range(A))                      # (D,A,G,B)
-        tail_f = sum(wn[None, :, :, o] * tailv4[:, None, :, o]
-                     for o in range(A))
-        s2_new = sig2_ag[None] + tail_f                   # (D,A,G,B)
 
         keep = is_interior[None, :]
         m = jnp.where(keep[None], m_f.reshape(D, K, B), m)

@@ -376,3 +376,12 @@ def to_dict(batch: TrackBatch, values: Optional[np.ndarray] = None
         sel = lengths == t
         out[str(int(t))] = src[sel][:, :int(t)] if src.ndim > 1 else src[sel]
     return out
+
+def default_min_len(lens: np.ndarray) -> int:
+    """Dataset default for the closing gate: the shortest real track,
+    clamped to >= 2 (length-1 rows are padding or degenerate; reference
+    min_len inference, extrack/tracking.py:1009).  min_len is a STATIC
+    program argument shared by the fit objective, the Fisher Hessian and
+    every post-fit driver — one definition keeps them in lockstep."""
+    lens = np.asarray(lens)
+    return int(lens[lens >= 2].min()) if (lens >= 2).any() else 2

@@ -80,7 +80,7 @@ def make_objective(batch,
     batches = batch if isinstance(batch, (list, tuple)) else [batch]
     if min_len is None:
         lens = np.concatenate([tdata.host_lengths(b) for b in batches])
-        min_len = int(lens[lens >= 2].min()) if (lens >= 2).any() else 2
+        min_len = tdata.default_min_len(lens)
     mesh = None
     if sharded:
         mesh = pmesh.make_mesh()
@@ -266,7 +266,11 @@ def run_lbfgs_device(neg_logl: Callable, z0, *, data=None,
             state0 = opt.init(z0)
             big = jnp.asarray(jnp.inf, z0.dtype)
             z, state, _ = jax.lax.while_loop(cont, step, (z0, state0, big))
-            return z, fn(z), otu.tree_get(state, "count")
+            # the linesearch-accepted value at the final z already sits in
+            # the optimizer state — re-evaluating fn(z) would pay one extra
+            # full forward scan per start
+            return z, otu.tree_get(state, "value"), \
+                otu.tree_get(state, "count")
 
         if data is not None and hasattr(neg_logl, "trace_signature"):
             _JIT_CACHE[(("run",) + cache_key, neg_logl.trace_signature)] = run
@@ -398,6 +402,14 @@ def fit(batch: tdata.TrackBatch,
                 lambda z: fun(z)[0], z_init, method=method,
                 options={"maxiter": max_iter})
     elif on_device:
+        if callback or verbose:
+            import warnings
+            warnings.warn(
+                "method='device-lbfgs' runs the whole optimization in one "
+                "dispatch: per-evaluation callback/verbose output is not "
+                "available (use the default host L-BFGS-B for that)",
+                stacklevel=2)
+
         def run_opt(z_init):
             z, value, iters = run_lbfgs_device(neg_logl, z_init, data=data,
                                                max_iter=max_iter)
@@ -411,9 +423,11 @@ def fit(batch: tdata.TrackBatch,
                 best[0] = value
                 ckpt.save(spec.resolve(spec.from_unconstrained(
                     jnp.asarray(z))), value, n_evals[0])
+            converged = iters < max_iter    # else: iteration cap hit
             return scipy.optimize.OptimizeResult(
-                x=z, fun=value, success=True, nit=iters,
-                message="device L-BFGS converged")
+                x=z, fun=value, success=converged, nit=iters,
+                message=("device L-BFGS converged" if converged else
+                         "device L-BFGS stopped on the max_iter cap"))
     else:
         def run_opt(z_init):
             return scipy.optimize.minimize(fun, z_init, jac=True,
@@ -504,7 +518,7 @@ def hessian_chunked(batches, spec: tparams.Parameters, z_opt, dt,
     z = jnp.asarray(z_opt)
     if min_len is None:
         lens = np.concatenate([tdata.host_lengths(b) for b in batches])
-        min_len = int(lens[lens >= 2].min()) if (lens >= 2).any() else 2
+        min_len = tdata.default_min_len(lens)
 
     @functools.partial(jax.jit, static_argnames=("use_loc_err",))
     def chunk_hess(z, pos, lens, isbl, loc_err_b, dt_arr, use_loc_err):

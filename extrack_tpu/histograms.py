@@ -46,6 +46,7 @@ import jax.numpy as jnp
 
 from extrack_tpu import data as tdata
 from extrack_tpu import params as tparams
+from extrack_tpu.core import engine
 from extrack_tpu.core import tables as ttables
 from extrack_tpu.core.tables import ModelTables, state_codes
 
@@ -406,26 +407,12 @@ def window_segment_histogram(positions, lengths, is_bleached,
         out = out + (jnp.sum(pbar[:, None, :] * total, axis=(0, 2))
                      + seg_static.T @ jnp.sum(pbar, axis=1))
 
-        # ---- branch + fuse (same math as the engine) -----------------------
+        # ---- branch + fuse (the engine's shared transport step) -----------
         new_m = (m * l2_t[:, None, :] + x_t[:, None, :] * s2) / tot
         tail = l2_t[:, None, :] * s2 / tot
         gate = (t + 1 >= min_len).astype(dtype)
-        base = (lp + lc).reshape(G, A, B)
-        lp_child = (base[None] + lt_b + gate * lsurv_b)     # (A,G,O,B)
-        mx = jnp.max(lp_child, axis=2, keepdims=True)
-        safe = jnp.where(jnp.isfinite(mx), mx, 0.0)
-        w = jnp.exp(lp_child - safe)
-        sw = jnp.sum(w, axis=2)
-        wn = w / jnp.maximum(sw[:, :, None], 1e-300)        # (A,G,O,B)
-        lp_new = (jnp.squeeze(safe, 2) + jnp.log(jnp.maximum(sw, 1e-300))
-                  + jnp.where(jnp.isfinite(mx[:, :, 0]), 0.0, -jnp.inf))
-        new_mv = new_m.reshape(D, G, A, B)
-        tailv = tail.reshape(D, G, A, B)
-        m_f = sum(wn[None, :, :, o] * new_mv[:, None, :, o]
-                  for o in range(A))                        # (D,A,G,B)
-        tail_f = sum(wn[None, :, :, o] * tailv[:, None, :, o]
-                     for o in range(A))
-        s2_new = sig2_ag[None] + tail_f
+        _, wn, lp_new, m_f, tail_f, s2_new = engine.branch_fuse(
+            lp, lc, new_m, tail, sig2_ag, gate, lt_b, lsurv_b, G, A)
 
         # ---- run / hist transport across the drop --------------------------
         real_drop = (t >= Wf - 1)
@@ -649,7 +636,7 @@ def hist_batch(batch: tdata.TrackBatch,
     if min_len is None:
         # before any padding: padded batches may lack the host length cache
         lens = tdata.host_lengths(batch)
-        min_len = int(lens[lens >= 2].min()) if (lens >= 2).any() else 2
+        min_len = tdata.default_min_len(lens)
     if sharded and engine not in ("window", "pallas"):
         import warnings
         warnings.warn(

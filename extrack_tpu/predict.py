@@ -78,7 +78,7 @@ def predict_batch(batch: tdata.TrackBatch,
               else spec_or_values)
     if min_len is None:
         lens = tdata.host_lengths(batch)
-        min_len = int(lens[lens >= 2].min()) if (lens >= 2).any() else 2
+        min_len = tdata.default_min_len(lens)
     if sharded:
         from extrack_tpu.parallel import mesh as pmesh
         mesh = pmesh.make_mesh()

@@ -36,7 +36,9 @@ from extrack_tpu.core import gaussian as gaussian_ops
 from extrack_tpu.core.engine import make_register_spec, _moment_match
 from extrack_tpu.core.tables import branch_log_trans, state_codes
 
-_TINY = 1e-300
+# NOTE: must not underflow in float32 (the production TPU dtype) — see
+# core.engine._tiny; used only as a division guard on nonnegative sums
+_TINY = 1e-30
 
 
 def _refine_scan(positions, l2, lengths, log_trans, sig2_states, W):

@@ -110,7 +110,7 @@ def cum_Proba_Cs(params, all_tracks, dt, cell_dims, input_LocErr, nb_states,
     spec = params
     values = spec.resolve() if isinstance(spec, Parameters) else dict(spec)
     lens = tdata.host_lengths(batch)
-    min_len = int(lens[lens >= 2].min()) if (lens >= 2).any() else 2
+    min_len = tdata.default_min_len(lens)
     dt_arr = batch.dt if batch.dt is not None else float(dt)
     logl = tpredict.forward_from_values(
         values, batch.positions, batch.lengths, batch.is_bleached,

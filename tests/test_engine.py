@@ -242,3 +242,39 @@ def test_gradients_finite():
     assert np.isfinite(float(val))
     for g in jax.tree_util.tree_leaves(grads):
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_float32_forbidden_transition_no_nan():
+    """float32 (the production TPU dtype) with a FORBIDDEN transition
+    (rate 0 -> log_trans = -inf): the fusion's division guard must not
+    underflow to 0.0 (regression: the literal 1e-300 is zero in float32,
+    so an all-(-inf) group produced 0/0 = NaN poisoning every track)."""
+    import jax.numpy as jnp
+    from extrack_tpu.core import tables as ttables
+    rng = np.random.default_rng(91)
+    Ds = np.array([0.0, 0.05, 0.3], np.float32)
+    Fs = np.array([0.3, 0.4, 0.3], np.float32)
+    rates = np.array([[0.0, 0.1, 0.0],       # 0 -> 2 forbidden
+                      [0.1, 0.0, 0.1],
+                      [0.0, 0.1, 0.0]], np.float32)   # 2 -> 0 forbidden
+    tr = np.eye(3, dtype=np.float32)
+    xs, _ = _sim_tracks(rng, 8, 9, 2, np.array([0.0, 0.05, 0.3]),
+                        np.full((3, 3), 1 / 3),
+                        np.array([0.3, 0.4, 0.3]), 0.02, 0.02)
+    xs = xs.astype(np.float32)
+    lengths = np.full(8, 9, np.int32)
+    tb = ttables.build_tables(
+        jnp.asarray(Ds), jnp.asarray(0.02, jnp.float32), jnp.asarray(Fs),
+        jnp.asarray(rates), jnp.asarray(0.1, jnp.float32),
+        jnp.asarray(0.02, jnp.float32), cell_dims=(0.8,))
+    out = engine.forward(jnp.asarray(xs), jnp.asarray(lengths),
+                         jnp.zeros(8, jnp.float32), tb, window=4, min_len=3)
+    assert np.asarray(out).dtype == np.float32
+    assert np.isfinite(np.asarray(out)).all(), np.asarray(out)
+
+    # the histogram window engine carries its own copy of the fusion
+    from extrack_tpu import histograms as thist
+    hist = thist.window_segment_histogram(
+        jnp.asarray(xs), jnp.asarray(lengths), jnp.zeros(8, jnp.float32),
+        tb, window=4, min_len=3)
+    assert np.isfinite(np.asarray(hist)).all()

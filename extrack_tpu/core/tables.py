@@ -174,9 +174,22 @@ def build_tables(Ds,
     S = Ds.shape[0]
     n = nb_substeps
 
+    # log(0) entries (forbidden transition, zero fraction, pBL edge cases)
+    # are floored to a finite -1e15: exp still underflows to exactly 0, but
+    # -inf would produce NaN both in the Pallas kernels' max-shifted sums
+    # (inf - inf) and in the engines' gated terms (0 * -inf).  -1e15 is far
+    # below any achievable finite log-weight, and log-probabilities
+    # accumulate at most ~T levels of it (~1e17, well inside float32).
+    # Double-where so the zero branch's 1/0 never meets the VJP (a plain
+    # maximum(log(p), cap) backpropagates 0 * inf = NaN through expm-mixed
+    # rates).
+    def cap_log(p):
+        safe = jnp.where(p > 0, p, 1.0)
+        return jnp.where(p > 0, jnp.log(safe), -1e15)
+
     tr = transition_matrix(rates, nb_substeps=n, matrix_type=matrix_type)
-    log_trans = jnp.log(tr)
-    log_frac = jnp.log(Fs)
+    log_trans = cap_log(tr)
+    log_frac = cap_log(Fs)
 
     # squared step lengths 2*D*dt, with dt possibly per step / per track
     d2 = 2.0 * Ds * dt[..., None]                      # (..., S)
@@ -193,12 +206,12 @@ def build_tables(Ds,
     sub_codes = state_codes(S, n)                       # (A, n)
     sub_d = jnp.sqrt(jnp.mean(d2_r[sub_codes], axis=-1))
     p_stay = fov_stay_prob(sub_d, cell_dims)            # (A,)
-    log_survive = jnp.log(p_stay * (1.0 - pBL))
+    log_survive = cap_log(p_stay * (1.0 - pBL))
 
     # end term: one extra hidden extension of n sub-steps, folded per
     # newest state: logsumexp_a [ sum log T(s -> a) + log(pBL + (1-p_stay_a)(1-pBL)) ]
     lt_branch = branch_log_trans(log_trans, n)          # (A, S)
-    end_core = jnp.log(pBL + (1.0 - p_stay) * (1.0 - pBL))   # (A,)
+    end_core = cap_log(pBL + (1.0 - p_stay) * (1.0 - pBL))   # (A,)
     end_ll = jsp.special.logsumexp(lt_branch + end_core[:, None], axis=0)
 
     loc_err = jnp.asarray(loc_err)

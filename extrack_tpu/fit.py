@@ -119,6 +119,7 @@ def make_objective(batch,
         # (_shared_jit / _JIT_CACHE) never retain a dataset
         values = spec.resolve(spec.from_unconstrained(z))
         total = 0.0
+        Fs = None
         for b, use_pallas, has_len2 in zip(bs, pallas_batches, has_len2s):
             loc_err_input = b.loc_err if input_loc_err else None
             Ds, Fs, rates, loc_err, pBL = tparams.extract_arrays(
@@ -145,7 +146,16 @@ def make_objective(batch,
                     b.positions, b.lengths, b.is_bleached, tb,
                     window=window, nb_substeps=nb_substeps,
                     min_len=min_len))
-        return -total
+        # reference validity guard (tracking.py:1017): the derived last
+        # fraction F_last = 1 - sum(F_i) can go negative at >= 3 states
+        # (each free F is bounded, their SUM is not).  log(F < 0) used to
+        # surface as NaN and trip the drivers' non-finite guard by
+        # accident; build_tables' finite log floor now keeps such a prior
+        # silently UNNORMALIZED (inflating logL by B*log(sum F)) — reject
+        # the region explicitly instead.
+        neg = -total
+        return jnp.where(jnp.all(Fs >= 0.0), neg,
+                         jnp.asarray(jnp.inf, neg.dtype))
 
     def neg_logl(z, data=None):
         # ``data`` lets callers pass the track batches as jit ARGUMENTS

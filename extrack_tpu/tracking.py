@@ -109,6 +109,14 @@ def cum_Proba_Cs(params, all_tracks, dt, cell_dims, input_LocErr, nb_states,
     batch = _cached_from_dict(all_tracks, input_LocErr, dt)
     spec = params
     values = spec.resolve() if isinstance(spec, Parameters) else dict(spec)
+    # reference validity guard (tracking.py:1017): reject negative derived
+    # fractions (F_last = 1 - sum F can dip below 0 at >= 3 states)
+    fracs = [float(values[f"F{i}"]) for i in range(nb_states)
+             if f"F{i}" in values]
+    if fracs and min(fracs) < 0:
+        if verbose:
+            print("inf (invalid fractions)")
+        return float("inf")
     lens = tdata.host_lengths(batch)
     min_len = tdata.default_min_len(lens)
     dt_arr = batch.dt if batch.dt is not None else float(dt)

@@ -75,13 +75,22 @@ void parse_range(const char* data, const char* end, char sep,
     const char* line_end = static_cast<const char*>(
         memchr(p, '\n', end - p));
     if (!line_end) line_end = end;
-    // split into fields up to max_col
+    // split into fields up to max_col; a quote anywhere in this span can
+    // embed the separator (RFC-4180 quoting) and silently shift columns —
+    // emit NaNs so the Python wrapper falls back to the pandas reader
     int f = 0;
+    bool quoted = false;
     starts[0] = p;
     const char* q = p;
     while (q < line_end && f <= max_col) {
       if (*q == sep) starts[++f] = q + 1;
+      else if (*q == '"') quoted = true;
       ++q;
+    }
+    if (quoted) {
+      for (int c = 0; c < n_cols; ++c) out->push_back(NAN);
+      p = line_end + 1;
+      continue;
     }
     if (f >= 0 && p < line_end) {
       // field c spans [starts[c], next sep or line end)

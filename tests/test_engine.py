@@ -272,9 +272,48 @@ def test_float32_forbidden_transition_no_nan():
     assert np.asarray(out).dtype == np.float32
     assert np.isfinite(np.asarray(out)).all(), np.asarray(out)
 
-    # the histogram window engine carries its own copy of the fusion
+    # the histogram window engine shares the fusion via engine.branch_fuse
     from extrack_tpu import histograms as thist
     hist = thist.window_segment_histogram(
         jnp.asarray(xs), jnp.asarray(lengths), jnp.zeros(8, jnp.float32),
         tb, window=4, min_len=3)
     assert np.isfinite(np.asarray(hist)).all()
+
+    # all four Pallas kernels: build_tables floors log(0) to a finite cap
+    # so the kernels' max-shifted sums never hit inf - inf = NaN
+    from extrack_tpu.ops import (pallas_engine, pallas_grad, pallas_hist,
+                                 pallas_predict)
+    args = (jnp.asarray(xs), jnp.asarray(lengths), jnp.zeros(8, jnp.float32),
+            tb)
+    ref = np.asarray(out)
+    got = np.asarray(pallas_engine.forward_pallas(*args, window=4,
+                                                  min_len=3, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-4)
+    lo, preds = pallas_predict.predict_pallas(*args, window=4, min_len=3,
+                                              interpret=True)
+    np.testing.assert_allclose(np.asarray(lo), ref, rtol=2e-4)
+    assert np.isfinite(np.asarray(preds)).all()
+    h2 = pallas_hist.hist_pallas(*args, window=4, min_len=3, interpret=True)
+    assert np.isfinite(np.asarray(h2)).all()
+    pallas_grad.INTERPRET = True
+    try:
+        val = pallas_grad.neg_log_likelihood(*args, window=4, min_len=3)
+        np.testing.assert_allclose(float(val), -ref.sum(), rtol=2e-3)
+    finally:
+        pallas_grad.INTERPRET = False
+
+    # gradients stay finite differentiating THROUGH build_tables with zero
+    # rates under expm mixing (a plain maximum(log(p), cap) would NaN)
+    import jax
+
+    def obj(r):
+        tb2 = ttables.build_tables(
+            jnp.asarray([0.0, 0.05, 0.3]), 0.02,
+            jnp.asarray([0.3, 0.4, 0.3]), r, 0.1, 0.02,
+            cell_dims=(0.8,), matrix_type=2)
+        return -jnp.sum(engine.forward(
+            jnp.asarray(xs, jnp.float64), jnp.asarray(lengths),
+            jnp.zeros(8), tb2, window=4, min_len=3))
+
+    g = jax.grad(obj)(jnp.asarray(rates, jnp.float64))
+    assert np.isfinite(np.asarray(g)).all()

@@ -168,3 +168,35 @@ def test_objective_core_is_dataset_free():
     data = jax.device_put(obj.batches)
     np.testing.assert_allclose(float(obj(z)), float(obj.core(z, data)),
                                rtol=1e-12)
+
+
+def test_objective_rejects_negative_derived_fraction():
+    """F_last = 1 - sum(F_i) can go negative at >= 3 states (each free F is
+    bounded, their sum is not).  Regression: build_tables' finite log floor
+    silently kept such priors UNNORMALIZED (inflating logL by B*log(sum F),
+    enough to flip a BIC model selection); the objective must reject the
+    region like the reference's validity guard (tracking.py:1017)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(12)
+    tracks = {"6": rng.normal(0, 0.1, (20, 6, 2)).cumsum(1)}
+    batch = tdata.from_dict(tracks)
+    spec = xp.generate_params(nb_states=3, D_max=1.0)
+    spec["F0"].value = 0.99
+    spec["F1"].value = 0.99          # -> resolved F2 = -0.98
+    assert spec.resolve()["F2"] < 0
+    neg_logl = fit.make_objective(batch, spec, 0.02, 3, window=4)
+    bad = float(neg_logl(jnp.asarray(spec.to_unconstrained())))
+    assert not np.isfinite(bad) or bad >= 1e290
+    # a valid point stays finite
+    spec["F0"].value = 0.4
+    spec["F1"].value = 0.3           # -> resolved F2 = 0.3
+    good = float(neg_logl(jnp.asarray(spec.to_unconstrained())))
+    assert np.isfinite(good)
+
+    # the reference-named objective guards identically (host-side)
+    from extrack_tpu import tracking
+    spec["F0"].value = 0.99
+    spec["F1"].value = 0.99
+    out = tracking.cum_Proba_Cs(spec, tracks, 0.02, (1.0,), None, 3, 1, 4,
+                                verbose=0)
+    assert out == float("inf")

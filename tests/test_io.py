@@ -239,3 +239,21 @@ def test_cli_hist_forwards_window(monkeypatch, tmp_path):
     cli.cmd_hist(args)
     assert seen["window"] == 11
     assert "hists" in seen_plot and seen_plot["hists"].shape == (5, 2)
+
+
+def test_read_table_quoted_fields_fall_back(tmp_path):
+    """RFC-4180 quoted cells can embed the separator and shift columns in a
+    naive splitter; the native parser NaNs such rows so engine='auto' falls
+    back to pandas and returns the same tracks."""
+    p = str(tmp_path / "quoted.csv")
+    with open(p, "w") as fh:
+        fh.write("NOTE,POSITION_X,POSITION_Y,FRAME,TRACK_ID\n")
+        for tid in range(3):
+            for j in range(6):
+                fh.write(f'"a, b",{tid + j * 0.1},{j * 1.0},{j},{tid}\n')
+    t1, _, _ = readers.read_table(p, lengths=(6,), remove_no_disp=False,
+                                  engine="auto")
+    t2, _, _ = readers.read_table(p, lengths=(6,), remove_no_disp=False,
+                                  engine="pandas")
+    assert t1["6"].shape == (3, 6, 2)
+    np.testing.assert_allclose(t1["6"], t2["6"])

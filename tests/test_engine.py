@@ -317,3 +317,47 @@ def test_float32_forbidden_transition_no_nan():
 
     g = jax.grad(obj)(jnp.asarray(rates, jnp.float64))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_fuzz_random_configs_exact_window():
+    """Randomized sweep of the whole config space (state count, substeps,
+    dims, lengths, matrix type, loc-err form, censoring, min_len) against
+    the exact-enumeration oracle with window = T (exact regime).  Catches
+    interactions the fixed-case tests don't enumerate."""
+    rng = np.random.default_rng(2024)
+    for trial in range(10):
+        S = int(rng.integers(2, 4))
+        n = int(rng.integers(1, 3)) if S == 2 else 1
+        D = int(rng.integers(1, 4))
+        T = int(rng.integers(max(3, n + 2), 5 if n == 2 else 7))
+        B = int(rng.integers(2, 5))
+        mt = int(rng.integers(0, 5))
+        Ds = np.sort(rng.uniform(0.0, 0.3, S))
+        Fs = rng.dirichlet(np.ones(S) * 3)
+        rates = rng.uniform(0.02, 0.25, (S, S))
+        np.fill_diagonal(rates, 0.0)
+        pBL = float(rng.uniform(0.02, 0.3))
+        loc_err = (float(rng.uniform(0.01, 0.05)) if rng.random() < 0.7
+                   else rng.uniform(0.01, 0.05, D))
+        cell_dims = ((0.8,) if rng.random() < 0.7 else (0.6, 1.2))
+        min_len = int(rng.integers(2, 4))
+        tr_frame = np.asarray(tables.transition_matrix(
+            jnp.asarray(rates), nb_substeps=1, matrix_type=mt))
+        # normalized copy for the SIMULATOR only (np.random.choice needs
+        # exact row sums; parity is checked under the un-normalized model)
+        tr_sim = np.clip(tr_frame, 1e-12, None)
+        tr_sim = tr_sim / tr_sim.sum(1, keepdims=True)
+        xs, _ = _sim_tracks(rng, B, T, D, Ds, tr_sim,
+                            Fs / Fs.sum(), 0.03, 0.02)
+        lengths = rng.integers(2, T + 1, B)
+        lengths[0] = T
+        isbl = rng.integers(0, 2, B).astype(float)
+        W = (T - 1) * n + 1       # cover the whole hidden sub-step chain
+        got, want = _run_both(xs, lengths, isbl, Ds, Fs, rates, loc_err,
+                              0.02, pBL, cell_dims, n=n, W=W,
+                              min_len=min_len, matrix_type=mt)
+        mask = lengths >= 2
+        np.testing.assert_allclose(
+            got[mask], want[mask], rtol=1e-9, atol=1e-9,
+            err_msg=f"trial {trial}: S={S} n={n} D={D} T={T} mt={mt} "
+                    f"min_len={min_len} cell={cell_dims}")

@@ -1,0 +1,223 @@
+"""End-to-end statistical validation: simulate -> fit -> recover.
+
+The reference's only correctness check is its tutorial's by-eye comparison
+of fitted parameters against simulation ground truth
+(Tutorials/Tutorial_ExTrack.ipynb cells 9-31; SURVEY.md section 4).  This
+script runs that check systematically across the model families the
+framework supports, on real hardware, and records the numbers:
+
+  * fitted vs true parameter values (relative errors),
+  * Fisher standard errors and z = (fit - true) / std_err,
+  * wall-clock per fit.
+
+Run: PYTHONPATH=/root/.axon_site:. python benchmarks/validation.py
+     [--quick] [--only substr[,substr]]
+Writes benchmarks/validation.json and docs/VALIDATION.md.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+
+if "--cpu" in sys.argv or os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the env var alone does NOT beat the axon TPU plugin (CLAUDE.md);
+    # the config update must land before the first backend touch
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+from extrack_tpu import fit, params as xp, simulate  # noqa: E402
+from extrack_tpu.core import tables as ttables  # noqa: E402
+
+TRUE = dict(LocErr=0.02, Ds=(0.0, 0.08), p01=0.09, p10=0.06, pBL=0.05)
+
+
+def _trmat(ps, S):
+    """Per-frame transition matrix from rates (matrix_type=1 convention)."""
+    r = np.zeros((S, S))
+    for (i, j), v in ps.items():
+        r[i, j] = v
+    return np.asarray(ttables.transition_matrix(r, matrix_type=1))
+
+
+def _compare(res, true_vals, loose=()):
+    """Relative errors + Fisher z-scores for every true parameter."""
+    vals = res.params.valuesdict()
+    errs = res.std_errors or {}
+    rows = {}
+    for k, tv in true_vals.items():
+        if k not in vals:
+            continue
+        fv = float(vals[k])
+        se = errs.get(k)
+        rel = abs(fv - tv) / max(abs(tv), 1e-12)
+        rows[k] = {"true": tv, "fit": round(fv, 6),
+                   "rel_err": round(rel, 4),
+                   "std_err": None if se is None else round(float(se), 6),
+                   "z": None if not se else round((fv - tv) / se, 2)}
+    return rows
+
+
+def scenario_2state(n, seed=1):
+    tm = _trmat({(0, 1): TRUE["p01"], (1, 0): TRUE["p10"]}, 2)
+    tracks, _, _ = simulate.sim_fov(
+        nb_tracks=n, max_track_len=12, min_track_len=5,
+        LocErr=TRUE["LocErr"], Ds=TRUE["Ds"], TrMat=tm, dt=0.02,
+        pBL=TRUE["pBL"], cell_dims=(0.5, None, None), seed=seed)
+    res = fit.param_fitting(tracks, 0.02, nb_states=2, frame_len=6,
+                            cell_dims=(0.5,), compute_errors=True, verbose=0)
+    return res, {"LocErr": TRUE["LocErr"], "D1": TRUE["Ds"][1],
+                 "p01": TRUE["p01"], "p10": TRUE["p10"],
+                 "pBL": TRUE["pBL"]}
+
+
+def scenario_3state(n, seed=2):
+    ps = {(0, 1): 0.08, (1, 0): 0.05, (1, 2): 0.07, (2, 1): 0.09}
+    tm = _trmat(ps, 3)
+    tracks, _, _ = simulate.sim_fov(
+        nb_tracks=n, max_track_len=12, min_track_len=5, LocErr=0.02,
+        Ds=(0.0, 0.05, 0.3), TrMat=tm, dt=0.02, pBL=0.05,
+        cell_dims=(0.5, None, None), seed=seed)
+    spec = xp.generate_params(nb_states=3, estimated_LocErr=0.022,
+                              estimated_Ds=[1e-4, 0.03, 0.2], D_max=3.0,
+                              estimated_transition_rates=0.08)
+    res = fit.param_fitting(tracks, 0.02, params=spec, nb_states=3,
+                            frame_len=5, cell_dims=(0.5,),
+                            compute_errors=True, verbose=0)
+    return res, {"LocErr": 0.02, "D1": 0.05, "D2": 0.3,
+                 "p01": ps[(0, 1)], "p10": ps[(1, 0)],
+                 "p12": ps[(1, 2)], "p21": ps[(2, 1)], "pBL": 0.05}
+
+
+def scenario_per_peak(n, seed=3):
+    tm = _trmat({(0, 1): TRUE["p01"], (1, 0): TRUE["p10"]}, 2)
+    tracks, _, sigmas = simulate.sim_fov(
+        nb_tracks=n, max_track_len=12, min_track_len=5,
+        LocErr=TRUE["LocErr"], LocErr_std=0.3, Ds=TRUE["Ds"], TrMat=tm,
+        dt=0.02, pBL=TRUE["pBL"], cell_dims=(0.5, None, None), seed=seed)
+    res = fit.param_fitting(tracks, 0.02, nb_states=2, frame_len=6,
+                            cell_dims=(0.5,), input_LocErr=sigmas,
+                            compute_errors=True, verbose=0)
+    return res, {"D1": TRUE["Ds"][1], "p01": TRUE["p01"],
+                 "p10": TRUE["p10"], "pBL": TRUE["pBL"]}
+
+
+def scenario_steady_state(n, seed=4):
+    tm = _trmat({(0, 1): TRUE["p01"], (1, 0): TRUE["p10"]}, 2)
+    fr = simulate.get_fractions_from_TrMat(tm)
+    tracks, _, _ = simulate.sim_fov(
+        nb_tracks=n, max_track_len=12, min_track_len=5,
+        LocErr=TRUE["LocErr"], Ds=TRUE["Ds"], TrMat=tm,
+        initial_fractions=fr, dt=0.02, pBL=TRUE["pBL"],
+        cell_dims=(0.5, None, None), seed=seed)
+    res = fit.param_fitting(tracks, 0.02, nb_states=2, frame_len=6,
+                            cell_dims=(0.5,), steady_state=True,
+                            compute_errors=True, verbose=0)
+    return res, {"LocErr": TRUE["LocErr"], "D1": TRUE["Ds"][1],
+                 "p01": TRUE["p01"], "p10": TRUE["p10"],
+                 "pBL": TRUE["pBL"], "F0": float(fr[0])}
+
+
+def scenario_substeps2(n, seed=5):
+    # the simulator runs 20 sub-steps/frame, so mid-frame transitions are
+    # real; a substeps=2 fit models them at half-frame resolution — rates
+    # recover approximately (documented looser tolerance)
+    tm = _trmat({(0, 1): TRUE["p01"], (1, 0): TRUE["p10"]}, 2)
+    tracks, _, _ = simulate.sim_fov(
+        nb_tracks=n, max_track_len=12, min_track_len=5,
+        LocErr=TRUE["LocErr"], Ds=TRUE["Ds"], TrMat=tm, dt=0.02,
+        pBL=TRUE["pBL"], cell_dims=(0.5, None, None), seed=seed)
+    res = fit.param_fitting(tracks, 0.02, nb_states=2, frame_len=5,
+                            nb_substeps=2, cell_dims=(0.5,),
+                            compute_errors=True, verbose=0)
+    return res, {"LocErr": TRUE["LocErr"], "D1": TRUE["Ds"][1],
+                 "pBL": TRUE["pBL"]}
+
+
+SCENARIOS = [
+    ("fit_2state", scenario_2state),
+    ("fit_3state", scenario_3state),
+    ("fit_per_peak_locerr", scenario_per_peak),
+    ("fit_steady_state", scenario_steady_state),
+    ("fit_substeps2", scenario_substeps2),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (handled at import)")
+    ap.add_argument("--n-tracks", type=int, default=None)
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+    n = args.n_tracks or (5000 if args.quick else 100_000)
+    wanted = args.only.split(",") if args.only else None
+
+    out_json = os.path.join(_HERE, "validation.json")
+    results = {}
+    if os.path.exists(out_json):
+        with open(out_json) as fh:
+            results = json.load(fh)
+    failures = []
+    for name, fn in SCENARIOS:
+        if wanted and not any(w in name for w in wanted):
+            continue
+        t0 = time.time()
+        try:
+            res, true_vals = fn(n)
+            rows = _compare(res, true_vals)
+            results[name] = {
+                "n_tracks_requested": n, "logL": round(res.logl, 2),
+                "success": bool(res.success),
+                "wall_s": round(time.time() - t0, 2), "params": rows}
+            worst = max(r["rel_err"] for r in rows.values())
+            print(f"{name}: worst rel_err {worst:.3f} "
+                  f"({time.time() - t0:.1f}s)")
+        except Exception as exc:
+            print(f"FAILED {name}: {exc!r}")
+            results[name] = {"error": repr(exc)}
+            failures.append(name)
+        with open(out_json, "w") as fh:
+            json.dump(results, fh, indent=1)
+
+    md = ["# Statistical validation: simulate -> fit -> recover", "",
+          "Systematic version of the reference tutorial's ground-truth",
+          "check (Tutorial_ExTrack.ipynb cells 9-31): for each model",
+          "family, simulate with known parameters (FOV censoring and",
+          "bleaching on), fit, and compare.  `z = (fit - true)/std_err`",
+          "uses the fit's own Fisher errors; |z| of O(1) means the error",
+          "bars are calibrated.  Numbers regenerate with",
+          "`benchmarks/validation.py`.", ""]
+    for name, r in results.items():
+        md.append(f"## {name}")
+        md.append("")
+        if "error" in r:
+            md.append(f"FAILED: `{r['error']}`")
+            md.append("")
+            continue
+        md.append(f"{r['n_tracks_requested']} simulated tracks, "
+                  f"logL {r['logL']}, wall {r['wall_s']} s")
+        md.append("")
+        md.append("| param | true | fitted | rel err | std err | z |")
+        md.append("|---|---|---|---|---|---|")
+        for k, row in r["params"].items():
+            md.append(f"| {k} | {row['true']} | {row['fit']} | "
+                      f"{row['rel_err']} | {row['std_err']} | {row['z']} |")
+        md.append("")
+    with open(os.path.join(os.path.dirname(_HERE), "docs",
+                           "VALIDATION.md"), "w") as fh:
+        fh.write("\n".join(md))
+    print("wrote docs/VALIDATION.md and benchmarks/validation.json")
+    if failures:
+        raise SystemExit(f"validation scenario(s) failed: "
+                         f"{', '.join(failures)}")
+
+
+if __name__ == "__main__":
+    main()

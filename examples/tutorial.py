@@ -13,6 +13,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(
     os.path.dirname(os.path.abspath(__file__))))  # repo-root run without install
+# Honor JAX_PLATFORMS even when an accelerator plugin is importable: the
+# env var alone does not beat plugin auto-registration (see cli.main), so
+# `JAX_PLATFORMS=cpu python examples/...` would silently grab the TPU.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 import argparse
 
 import numpy as np

@@ -72,6 +72,7 @@ def scenario_2state(n, seed=1):
     res = fit.param_fitting(tracks, 0.02, nb_states=2, frame_len=6,
                             cell_dims=(0.5,), compute_errors=True, verbose=0)
     return res, {"LocErr": TRUE["LocErr"], "D1": TRUE["Ds"][1],
+                 "D1_minus_D0": TRUE["Ds"][1],   # free param: has a z
                  "p01": TRUE["p01"], "p10": TRUE["p10"],
                  "pBL": TRUE["pBL"]}
 
@@ -90,6 +91,7 @@ def scenario_3state(n, seed=2):
                             frame_len=5, cell_dims=(0.5,),
                             compute_errors=True, verbose=0)
     return res, {"LocErr": 0.02, "D1": 0.05, "D2": 0.3,
+                 "D1_minus_D0": 0.05, "D2_minus_D1": 0.25,  # free: have z
                  "p01": ps[(0, 1)], "p10": ps[(1, 0)],
                  "p12": ps[(1, 2)], "p21": ps[(2, 1)], "pBL": 0.05}
 
@@ -103,8 +105,9 @@ def scenario_per_peak(n, seed=3):
     res = fit.param_fitting(tracks, 0.02, nb_states=2, frame_len=6,
                             cell_dims=(0.5,), input_LocErr=sigmas,
                             compute_errors=True, verbose=0)
-    return res, {"D1": TRUE["Ds"][1], "p01": TRUE["p01"],
-                 "p10": TRUE["p10"], "pBL": TRUE["pBL"]}
+    return res, {"D1": TRUE["Ds"][1], "D1_minus_D0": TRUE["Ds"][1],
+                 "p01": TRUE["p01"], "p10": TRUE["p10"],
+                 "pBL": TRUE["pBL"]}
 
 
 def scenario_steady_state(n, seed=4):
@@ -119,6 +122,7 @@ def scenario_steady_state(n, seed=4):
                             cell_dims=(0.5,), steady_state=True,
                             compute_errors=True, verbose=0)
     return res, {"LocErr": TRUE["LocErr"], "D1": TRUE["Ds"][1],
+                 "D1_minus_D0": TRUE["Ds"][1],
                  "p01": TRUE["p01"], "p10": TRUE["p10"],
                  "pBL": TRUE["pBL"], "F0": float(fr[0])}
 
@@ -136,11 +140,66 @@ def scenario_substeps2(n, seed=5):
                             nb_substeps=2, cell_dims=(0.5,),
                             compute_errors=True, verbose=0)
     return res, {"LocErr": TRUE["LocErr"], "D1": TRUE["Ds"][1],
+                 "D1_minus_D0": TRUE["Ds"][1], "pBL": TRUE["pBL"]}
+
+
+def scenario_2state_frame_res(n, seed=6):
+    """Calibration control: simulate with FRAME-resolution transitions
+    (nb_sub_steps=1) so the data matches the fitted model exactly.  If this
+    recovers with |z| = O(1) while the realistic 20-sub-step scenarios
+    carry a few-percent rate bias, that bias is the stroboscopic
+    model-vs-reality mismatch every frame-discretized HMM shares (incl.
+    the reference), not an engine defect."""
+    tm = _trmat({(0, 1): TRUE["p01"], (1, 0): TRUE["p10"]}, 2)
+    tracks, _, _ = simulate.sim_fov(
+        nb_tracks=n, max_track_len=12, min_track_len=5,
+        LocErr=TRUE["LocErr"], Ds=TRUE["Ds"], TrMat=tm, dt=0.02,
+        pBL=TRUE["pBL"], cell_dims=(0.5, None, None), nb_sub_steps=1,
+        seed=seed)
+    res = fit.param_fitting(tracks, 0.02, nb_states=2, frame_len=6,
+                            cell_dims=(0.5,), compute_errors=True, verbose=0)
+    return res, {"LocErr": TRUE["LocErr"], "D1": TRUE["Ds"][1],
+                 "D1_minus_D0": TRUE["Ds"][1],
+                 "p01": TRUE["p01"], "p10": TRUE["p10"],
                  "pBL": TRUE["pBL"]}
+
+
+def scenario_matched_control(n, seed=7):
+    """Engine-calibration control: data generated from the MODEL's own
+    convention (simulate.brownian_frames: frame-resolution chain,
+    transition-mid-step displacement variance, no FOV, no bleaching),
+    fitted with window >= track length (no fusion) and pBL fixed at 0.
+    The fitted model equals the generator exactly, so fitted-vs-true
+    z-scores are O(1) iff the MLE engine and its Fisher errors are
+    calibrated — separating engine calibration from the model-vs-physics
+    approximations the realistic scenarios (and the reference's own
+    model) share: stroboscopic motion blur, mid-frame transitions, the
+    uniform-position FOV-survival CDF, and the fusion window."""
+    import jax
+    T = 8
+    tm = _trmat({(0, 1): TRUE["p01"], (1, 0): TRUE["p10"]}, 2)
+    fr = simulate.get_fractions_from_TrMat(tm)
+    x, _ = simulate.brownian_frames(
+        jax.random.PRNGKey(seed), n, T, np.asarray(TRUE["Ds"]), fr, tm,
+        TRUE["LocErr"], 0.02)
+    tracks = {str(T): np.asarray(x)}
+    spec = xp.generate_params(nb_states=2, estimated_LocErr=0.022,
+                              D_max=1.0, estimated_Fs=list(fr),
+                              estimated_transition_rates=0.08)
+    spec["pBL"].value = 0.0
+    spec["pBL"].vary = False
+    res = fit.param_fitting(tracks, 0.02, params=spec, nb_states=2,
+                            frame_len=T, cell_dims=(None,),
+                            compute_errors=True, verbose=0)
+    return res, {"LocErr": TRUE["LocErr"], "D1": TRUE["Ds"][1],
+                 "D1_minus_D0": TRUE["Ds"][1], "p01": TRUE["p01"],
+                 "p10": TRUE["p10"], "F0": float(fr[0])}
 
 
 SCENARIOS = [
     ("fit_2state", scenario_2state),
+    ("fit_2state_frame_res", scenario_2state_frame_res),
+    ("fit_matched_control", scenario_matched_control),
     ("fit_3state", scenario_3state),
     ("fit_per_peak_locerr", scenario_per_peak),
     ("fit_steady_state", scenario_steady_state),
@@ -191,9 +250,20 @@ def main():
           "check (Tutorial_ExTrack.ipynb cells 9-31): for each model",
           "family, simulate with known parameters (FOV censoring and",
           "bleaching on), fit, and compare.  `z = (fit - true)/std_err`",
-          "uses the fit's own Fisher errors; |z| of O(1) means the error",
-          "bars are calibrated.  Numbers regenerate with",
-          "`benchmarks/validation.py`.", ""]
+          "uses the fit's own Fisher errors.  Numbers regenerate with",
+          "`benchmarks/validation.py`.", "",
+          "Reading the numbers: in `fit_matched_control` the data come",
+          "from the model's own generative convention and the window",
+          "covers the whole track — there the estimates are unbiased and",
+          "the Fisher errors calibrated (|z| <= ~1), which validates the",
+          "MLE engine itself.  The realistic scenarios simulate physics",
+          "the frame-discretized model only approximates (20 sub-steps",
+          "per frame: stroboscopic motion blur, mid-frame transitions,",
+          "uniform-position FOV-survival CDF, finite fusion window), so",
+          "their few-percent parameter deviations are MODEL approximation",
+          "error — shared with the reference, whose model is identical —",
+          "and become statistically resolvable (|z| >> 1) once 10^5",
+          "tracks shrink the statistical error below it.", ""]
     for name, r in results.items():
         md.append(f"## {name}")
         md.append("")

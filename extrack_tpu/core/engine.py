@@ -34,7 +34,7 @@ frozen.  The scan is ``vmap``-free (explicitly batched) so XLA lays out the
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 

@@ -29,7 +29,6 @@ table through VMEM alongside the positions).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import numpy as np
 

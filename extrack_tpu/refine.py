@@ -24,7 +24,7 @@ fractions, refined_localization.py:93-96,218).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

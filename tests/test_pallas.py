@@ -149,3 +149,66 @@ def test_pallas_per_track_dt_two_frames():
         np.testing.assert_allclose(float(val), -ref.sum(), rtol=1e-5)
     finally:
         pallas_grad.INTERPRET = False
+
+
+def test_fuzz_kernels_random_configs():
+    """Randomized configs through the forward/posterior/histogram kernels
+    vs the XLA engine (interpret mode): dims, window, lengths, loc-err
+    form, and dt mode (constant / per-step / per-track) sampled together —
+    the T=2 per-track-dt classifier bug hid exactly in such a corner."""
+    import jax
+    from extrack_tpu.ops import pallas_hist, pallas_predict
+    rng = np.random.default_rng(515)
+    for trial in range(6):
+        S = 2 if rng.random() < 0.7 else 3
+        W = int(rng.integers(3, 6 if S == 3 else 7))
+        D = int(rng.integers(1, 4))
+        T = int(rng.integers(max(3, W - 1), 10))
+        B = int(rng.integers(3, 7))
+        Ds = np.sort(rng.uniform(0.0, 0.2, S))
+        Fs = rng.dirichlet(np.ones(S) * 3)
+        rates = rng.uniform(0.05, 0.2, (S, S))
+        np.fill_diagonal(rates, 0.0)
+        dt_mode = rng.choice(["const", "per_step", "per_track"])
+        dt = {"const": 0.02,
+              "per_step": np.full((T - 1,), 0.02) * rng.uniform(
+                  0.5, 1.5, T - 1),
+              "per_track": 0.02 * rng.uniform(0.5, 1.5, (B, T - 1))
+              }[dt_mode]
+        loc_err = (0.02 if rng.random() < 0.7
+                   else 0.015 + 0.02 * rng.random((B, T, D)))
+        tb = tables.build_tables(
+            jnp.asarray(Ds, jnp.float32), jnp.asarray(loc_err, jnp.float32),
+            jnp.asarray(Fs, jnp.float32), jnp.asarray(rates, jnp.float32),
+            jnp.asarray(0.1, jnp.float32), jnp.asarray(dt, jnp.float32),
+            cell_dims=(0.8,))
+        xs = rng.normal(0, 0.2, (B, T, D)).cumsum(1).astype(np.float32)
+        lengths = rng.integers(2, T + 1, B).astype(np.int32)
+        lengths[0] = T
+        isbl = rng.integers(0, 2, B).astype(np.float32)
+        args = (jnp.asarray(xs), jnp.asarray(lengths), jnp.asarray(isbl), tb)
+        msg = (f"trial {trial}: S={S} W={W} D={D} T={T} B={B} "
+               f"dt={dt_mode} perpeak={np.ndim(loc_err) > 0}")
+        ref = np.asarray(engine.forward(*args, window=W, min_len=2))
+        got = np.asarray(pallas_engine.forward_pallas(
+            *args, window=W, min_len=2, interpret=True))
+        np.testing.assert_allclose(got, ref, rtol=5e-5, atol=1e-5,
+                                   err_msg="forward " + msg)
+        lo, pr = pallas_predict.predict_pallas(*args, window=W, min_len=2,
+                                               interpret=True)
+        np.testing.assert_allclose(np.asarray(lo), ref, rtol=5e-5,
+                                   atol=1e-5, err_msg="predict " + msg)
+        ref_lo, ref_pr = engine.forward(*args, window=W, min_len=2,
+                                        return_preds=True)
+        mask = (np.arange(T)[None] < lengths[:, None])[..., None]
+        np.testing.assert_allclose(np.asarray(pr) * mask,
+                                   np.asarray(ref_pr) * mask,
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg="posteriors " + msg)
+        h = np.asarray(pallas_hist.hist_pallas(*args, window=W, min_len=2,
+                                               interpret=True))
+        from extrack_tpu.histograms import window_segment_histogram
+        href = np.asarray(window_segment_histogram(*args, window=W,
+                                                   min_len=2))
+        np.testing.assert_allclose(h, href, rtol=2e-4, atol=2e-4,
+                                   err_msg="hist " + msg)

@@ -225,15 +225,14 @@ def main():
     out = os.path.join(os.path.dirname(__file__), "results.json")
 
     def dump():
-        # incremental: hours of completed TPU measurements must survive a
-        # later case failing
-        if wanted and os.path.exists(out):
+        # incremental AND merging: hours of completed TPU measurements
+        # must survive a later case failing, and the first case of a full
+        # run must not clobber the previous file's other entries
+        results = {}
+        if os.path.exists(out):
             with open(out) as fh:
-                prev = json.load(fh)
-            prev.update(RESULTS)
-            results = prev
-        else:
-            results = RESULTS
+                results = json.load(fh)
+        results.update(RESULTS)
         with open(out, "w") as fh:
             json.dump(results, fh, indent=1)
 

@@ -445,16 +445,26 @@ class AnalysisWindow:
 
     def _poll(self):
         """Drain worker messages on the Tk main thread (Tkinter widgets are
-        not thread-safe: the worker must never touch them directly)."""
+        not thread-safe: the worker must never touch them directly).  Every
+        step is guarded: one progress/widget exception (e.g. the log pane's
+        window was closed) must not kill the poll loop and leave the Run
+        button disabled forever."""
         import queue
         try:
             while True:
-                self.progress(self._msgq.get_nowait())
+                msg = self._msgq.get_nowait()
+                try:
+                    self.progress(msg)
+                except Exception:
+                    pass                       # log widget gone
         except queue.Empty:
             pass
-        if self._worker is not None and not self._worker.is_alive():
-            self._worker = None
-            self.run_btn.state(["!disabled"])
+        try:
+            if self._worker is not None and not self._worker.is_alive():
+                self._worker = None
+                self.run_btn.state(["!disabled"])
+        except Exception:
+            pass
         try:
             self.window.after(150, self._poll)
         except Exception:

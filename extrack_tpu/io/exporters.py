@@ -112,7 +112,9 @@ def extrack_2_matrix(all_tracks, pred_Bs, dt, all_frames=None) -> np.ndarray:
     df = extrack_2_pandas(all_tracks, pred_Bs, frames=all_frames)
     pos = [c for c in ("POSITION_X", "POSITION_Y", "POSITION_Z")
            if c in df.columns]
-    preds = sorted(c for c in df.columns if c.startswith("pred_"))
+    # numeric suffix order: a lexicographic sort scrambles >= 11 states
+    preds = sorted((c for c in df.columns if c.startswith("pred_")),
+                   key=lambda c: int(c.split("_")[1]))
     return df[pos + ["TRACK_ID", "FRAME"] + preds].to_numpy(np.float64)
 
 

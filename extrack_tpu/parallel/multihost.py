@@ -83,7 +83,7 @@ def global_batch(local: tdata.TrackBatch,
     # host-side GLOBAL lengths cache: min_len / has_len2 are static program
     # arguments, so every process must derive them from the same array (and
     # host_lengths on a non-fully-addressable global array would crash)
-    lens_local = np.asarray(local.lengths)
+    lens_local = tdata.host_lengths(local)   # cached: no device->host pull
     if jax.process_count() > 1:
         out.np_lengths = np.concatenate(
             list(multihost_utils.process_allgather(lens_local)))

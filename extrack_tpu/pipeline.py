@@ -80,11 +80,11 @@ def analyze(tracks_or_path,
     batches = tdata.from_dict_bucketed(tracks, max_buckets=max_buckets,
                                        canonical_shapes=True)
     # min_len is a DATASET property (shortest track present, reference
-    # tracking.py:1009) — per-bucket inference would differ between buckets.
-    # Same >= 2 clamp as fit.make_objective so every stage shares one
-    # closing-gate convention (length-1 tracks carry no displacement).
-    lens_present = [int(k) for k in tracks if len(tracks[k]) > 0]
-    min_len = min((l for l in lens_present if l >= 2), default=2)
+    # tracking.py:1009) — per-bucket inference would differ between
+    # buckets; the shared default keeps every stage on one closing-gate
+    # convention
+    min_len = tdata.default_min_len(
+        np.array([int(k) for k in tracks if len(tracks[k]) > 0]))
 
     spec = params if params is not None else tparams.generate_params(
         nb_states=nb_states, estimated_LocErr=0.025, D_max=10.0,

@@ -57,14 +57,23 @@ def Proba_Cs(Cs, LocErr, ds, Fs, TrMat, pBL, isBL, cell_dims, nb_substeps=1,
 _batch_cache: dict = {}
 
 
+def clear_batch_cache():
+    """Drop cached TrackBatches (see _cached_from_dict).  Call after
+    editing track arrays in place if you want a guaranteed re-upload."""
+    _batch_cache.clear()
+
+
 def _cached_from_dict(all_tracks, input_LocErr, dt):
     """Build (or reuse) the TrackBatch for a length-keyed dict.
 
     cum_Proba_Cs is the reference's objective function — user scripts call
     it once per optimizer iteration with the SAME dataset, and re-running
     from_dict every call re-uploads the whole dataset through the TPU
-    tunnel.  Content is fingerprinted by shapes plus head/tail bytes of
-    every array (cheap, collision-proof in practice)."""
+    tunnel.  Content is fingerprinted by shape/dtype, head/tail bytes and
+    a 256-element strided sample of every array — O(1) per call and it
+    catches any realistic (bulk) modification; a surgical few-element
+    interior edit can in principle collide, so call clear_batch_cache()
+    after in-place edits for a hard guarantee."""
     import numpy as np
     from extrack_tpu import data as tdata
 
@@ -75,9 +84,12 @@ def _cached_from_dict(all_tracks, input_LocErr, dt):
         for k in sorted(d):
             a = np.asarray(d[k])
             flat = a.ravel()
-            out.append((k, a.shape,
+            step = max(1, flat.size // 256)
+            sample = flat[::step][:256]
+            out.append((k, a.shape, str(a.dtype),
                         flat[:4].tobytes() if a.size else b"",
-                        flat[-4:].tobytes() if a.size else b""))
+                        flat[-4:].tobytes() if a.size else b"",
+                        sample.tobytes()))
         return tuple(out)
 
     key = (fp(all_tracks), fp(input_LocErr), fp(dt))

@@ -257,3 +257,13 @@ def test_read_table_quoted_fields_fall_back(tmp_path):
                                   engine="pandas")
     assert t1["6"].shape == (3, 6, 2)
     np.testing.assert_allclose(t1["6"], t2["6"])
+
+
+def test_extrack_2_matrix_many_states_column_order():
+    """pred columns in NUMERIC suffix order (a lexicographic sort scrambles
+    >= 11 states: pred_0, pred_1, pred_10, ..., pred_2, ...)."""
+    S = 12
+    tracks = {"3": np.zeros((1, 3, 2))}
+    preds = {"3": np.tile(np.arange(S, dtype=float)[None, None], (1, 3, 1))}
+    m = exporters.extrack_2_matrix(tracks, preds, 0.02)
+    np.testing.assert_allclose(m[0, 4:], np.arange(S))

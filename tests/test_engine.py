@@ -149,7 +149,6 @@ def test_window_approximation_close_to_exact():
                           0.1, (0.8,), n=1, W=5, min_len=3)
     # fused-window approximation: not exact, but close (the reference's own
     # frame_len fusion carries the same class of error, tracking.py:357)
-    assert not np.allclose(got, want, rtol=1e-12)
     np.testing.assert_allclose(got, want, rtol=1e-2)
     assert np.max(np.abs(got - want) / np.abs(want)) > 1e-8
 
@@ -257,7 +256,6 @@ def test_float32_forbidden_transition_no_nan():
     rates = np.array([[0.0, 0.1, 0.0],       # 0 -> 2 forbidden
                       [0.1, 0.0, 0.1],
                       [0.0, 0.1, 0.0]], np.float32)   # 2 -> 0 forbidden
-    tr = np.eye(3, dtype=np.float32)
     xs, _ = _sim_tracks(rng, 8, 9, 2, np.array([0.0, 0.05, 0.3]),
                         np.full((3, 3), 1 / 3),
                         np.array([0.3, 0.4, 0.3]), 0.02, 0.02)
@@ -329,7 +327,8 @@ def test_fuzz_random_configs_exact_window():
         S = int(rng.integers(2, 4))
         n = int(rng.integers(1, 3)) if S == 2 else 1
         D = int(rng.integers(1, 4))
-        T = int(rng.integers(max(3, n + 2), 5 if n == 2 else 7))
+        # n=2 caps T at 5 (W = 9 -> 2^9 oracle sequences stays cheap)
+        T = int(rng.integers(max(3, n + 2), 6 if n == 2 else 7))
         B = int(rng.integers(2, 5))
         mt = int(rng.integers(0, 5))
         Ds = np.sort(rng.uniform(0.0, 0.3, S))
@@ -351,6 +350,8 @@ def test_fuzz_random_configs_exact_window():
                             Fs / Fs.sum(), 0.03, 0.02)
         lengths = rng.integers(2, T + 1, B)
         lengths[0] = T
+        if rng.random() < 0.4:
+            lengths[-1] = 0            # padded (empty) slot
         isbl = rng.integers(0, 2, B).astype(float)
         W = (T - 1) * n + 1       # cover the whole hidden sub-step chain
         got, want = _run_both(xs, lengths, isbl, Ds, Fs, rates, loc_err,

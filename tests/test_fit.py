@@ -97,6 +97,7 @@ def test_device_lbfgs_matches_scipy():
     r2 = fit.param_fitting(tracks, 0.02, nb_states=2, frame_len=4,
                            cell_dims=(0.5,), verbose=0,
                            method="device-lbfgs")
+    assert r1.success          # the scipy baseline converged
     assert r2.success and r2.n_evals > 0
     assert abs(r1.logl - r2.logl) <= 1e-3 * abs(r1.logl) + 0.5
     assert abs(r1.params["D1"].value - r2.params["D1"].value) < 5e-3

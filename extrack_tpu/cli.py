@@ -59,6 +59,8 @@ def _add_io_args(p):
                    help="frame_len: exactly-resolved state history")
     p.add_argument("--params", default=None,
                    help="JSON of fitted parameters (from the fit command)")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard tracks over all visible devices (data mesh)")
     p.add_argument("--output", "-o", default=None)
 
 
@@ -79,7 +81,7 @@ def cmd_fit(args):
     res = fit.param_fitting(
         tracks, args.dt, nb_states=args.states, frame_len=args.window,
         cell_dims=tuple(args.cell_dims), input_LocErr=input_loc_err,
-        verbose=args.verbose, compute_errors=True)
+        verbose=args.verbose, compute_errors=True, sharded=args.sharded)
     print(res)
     if args.output:
         payload = {"logL": res.logl, "success": res.success,
@@ -98,7 +100,8 @@ def cmd_predict(args):
     preds = predict.predict_Bs(tracks, args.dt, spec,
                                cell_dims=tuple(args.cell_dims),
                                nb_states=args.states, frame_len=args.window,
-                               input_LocErr=input_loc_err)
+                               input_LocErr=input_loc_err,
+                               sharded=args.sharded)
     out = args.output or "extrack_predictions.csv"
     if out.endswith(".xml"):
         exporters.save_extrack_2_xml(tracks, preds, spec, out, args.dt,
@@ -117,7 +120,8 @@ def cmd_hist(args):
                                cell_dims=tuple(args.cell_dims),
                                nb_states=args.states,
                                window=args.window,
-                               input_LocErr=input_loc_err)
+                               input_LocErr=input_loc_err,
+                               sharded=args.sharded)
     out = args.output or "extrack_durations.csv"
     header = ",".join(f"state_{s}" for s in range(hist.shape[1]))
     np.savetxt(out, hist, delimiter=",", header="duration histogram rows = "
@@ -146,7 +150,8 @@ def cmd_refine(args):
     mus, sigmas = refine.position_refinement(
         tracks, input_loc_err if input_loc_err is not None
         else float(np.asarray(loc_err).ravel()[0]),
-        ds, np.asarray(Fs), tr, frame_len=args.window)
+        ds, np.asarray(Fs), tr, frame_len=args.window,
+        sharded=args.sharded)
     rows = []
     tid = 0
     for k in tracks:
@@ -162,6 +167,63 @@ def cmd_refine(args):
     out = args.output or "extrack_refined.csv"
     pd.DataFrame(rows).to_csv(out, index=False)
     print(f"wrote {out}")
+
+
+def cmd_warmup(args):
+    """Pre-compile the canonical program-shape ladder into the persistent
+    cache, so the FIRST real analysis in a fresh process is warm.
+
+    Remote-TPU compiles cost 10-300 s per program shape (CLAUDE.md); the
+    data pipeline pads every batch to a small canonical (T, B) ladder
+    precisely so this one-time warmup covers future datasets.  Run it once
+    after install (or per new model configuration): every later fit /
+    predict / histogram / refine at these settings starts warm.
+    """
+    import time
+
+    import jax
+
+    from extrack_tpu import fit, histograms, predict, refine, simulate
+    from extrack_tpu import params as tparams
+    from extrack_tpu.core import tables as ttables
+    t00 = time.time()
+    print(f"backend: {jax.default_backend()}; warming "
+          f"states={args.states} window={args.window} "
+          f"lengths<={args.max_len}")
+    tracks, _, _ = simulate.sim_fov(
+        nb_tracks=args.n_tracks, max_track_len=args.max_len,
+        min_track_len=args.min_len, LocErr=0.02,
+        Ds=[0.0] + [0.05 * (i + 1) for i in range(args.states - 1)],
+        dt=args.dt, pBL=0.1, cell_dims=(0.5, None, None), seed=0)
+    t0 = time.time()
+    res = fit.param_fitting(
+        tracks, args.dt, nb_states=args.states, frame_len=args.window,
+        cell_dims=tuple(args.cell_dims), verbose=0, compute_errors=True,
+        max_iter=3)
+    print(f"  fit programs: {time.time() - t0:.1f}s")
+    spec = res.params
+    for name, fn in [
+        ("predict", lambda: predict.predict_Bs(
+            tracks, args.dt, spec, cell_dims=tuple(args.cell_dims),
+            nb_states=args.states, frame_len=args.window)),
+        ("histogram", lambda: histograms.len_hist(
+            tracks, spec, args.dt, cell_dims=tuple(args.cell_dims),
+            nb_states=args.states, window=args.window)),
+    ]:
+        t0 = time.time()
+        fn()
+        print(f"  {name} programs: {time.time() - t0:.1f}s")
+    vals = spec.resolve()
+    Ds, Fs, rates, loc_err, _ = tparams.extract_arrays(vals, args.states)
+    tr = np.asarray(ttables.transition_matrix(rates))
+    ds = np.sqrt(2.0 * np.asarray(Ds) * args.dt)
+    t0 = time.time()
+    refine.position_refinement(
+        tracks, float(np.asarray(loc_err).ravel()[0]), ds, np.asarray(Fs),
+        tr, frame_len=min(args.window + 1, 8))
+    print(f"  refine programs: {time.time() - t0:.1f}s")
+    print(f"warmup done in {time.time() - t00:.1f}s — analyses at these "
+          "settings now start from the persistent cache")
 
 
 def cmd_simulate(args):
@@ -205,6 +267,17 @@ def main(argv=None):
     p_ref = sub.add_parser("refine", help="refine positions")
     _add_io_args(p_ref)
 
+    p_warm = sub.add_parser(
+        "warmup", help="pre-compile the canonical program shapes "
+        "(one-time; later analyses start warm)")
+    p_warm.add_argument("--dt", type=float, default=0.02)
+    p_warm.add_argument("--states", type=int, default=2)
+    p_warm.add_argument("--window", type=int, default=6)
+    p_warm.add_argument("--min-len", type=int, default=5)
+    p_warm.add_argument("--max-len", type=int, default=40)
+    p_warm.add_argument("--n-tracks", type=int, default=3000)
+    p_warm.add_argument("--cell-dims", type=float, nargs="+", default=[1.0])
+
     p_sim = sub.add_parser("simulate", help="simulate tracks")
     p_sim.add_argument("--n-tracks", type=int, default=10000)
     p_sim.add_argument("--min-len", type=int, default=3)
@@ -221,7 +294,8 @@ def main(argv=None):
 
     args = ap.parse_args(argv)
     {"fit": cmd_fit, "predict": cmd_predict, "histogram": cmd_hist,
-     "refine": cmd_refine, "simulate": cmd_simulate}[args.command](args)
+     "refine": cmd_refine, "simulate": cmd_simulate,
+     "warmup": cmd_warmup}[args.command](args)
 
 
 if __name__ == "__main__":

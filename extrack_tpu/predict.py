@@ -212,12 +212,15 @@ def predict_Bs(all_tracks: Dict[str, np.ndarray],
                workers: int = 1,
                input_LocErr=None,
                verbose: int = 0,
-               nb_max: int = 1) -> Dict[str, np.ndarray]:
+               nb_max: int = 1,
+               sharded: bool = False) -> Dict[str, np.ndarray]:
     """Reference-compatible wrapper (extrack/tracking.py:792-906).
 
     ``workers``/``nb_max``/``threshold``/``max_nb_states`` are accepted for
     API compatibility; the fixed window (``frame_len``) replaces threshold
     pruning and the whole dataset runs as one batched scan.
+    ``sharded=True`` shards the batch over the device mesh (like the other
+    drivers' flag).
     """
     del max_nb_states, threshold, workers, verbose, nb_max
     batch = tdata.from_dict(all_tracks, input_loc_err=input_LocErr,
@@ -225,5 +228,5 @@ def predict_Bs(all_tracks: Dict[str, np.ndarray],
     _, preds = predict_batch(
         batch, params, dt if not isinstance(dt, dict) else 0.0, nb_states,
         cell_dims=cell_dims, window=frame_len,
-        input_loc_err=input_LocErr is not None)
+        input_loc_err=input_LocErr is not None, sharded=sharded)
     return tdata.to_dict(batch, np.asarray(preds))

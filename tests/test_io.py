@@ -234,8 +234,8 @@ def test_cli_hist_forwards_window(monkeypatch, tmp_path):
         path="x.csv", dt=0.02, min_len=5, max_len=40, dist_th=np.inf,
         x_col="POSITION_X", y_col="POSITION_Y", frame_col="FRAME",
         id_col="TRACK_ID", quality_column=None, states=2, cell_dims=[1.0],
-        window=11, params=None, output=str(tmp_path / "h.csv"), plot=True,
-        verbose=0)
+        window=11, params=None, sharded=False,
+        output=str(tmp_path / "h.csv"), plot=True, verbose=0)
     cli.cmd_hist(args)
     assert seen["window"] == 11
     assert "hists" in seen_plot and seen_plot["hists"].shape == (5, 2)

@@ -48,10 +48,18 @@ VMEM_LIMIT = 64 * 1024 * 1024
 _SCRATCH_BUDGET = 40 * 1024 * 1024
 
 
-def forward_block_cap(D: int, K: int, A: int) -> int:
+def forward_block_cap(D: int, K: int, A: int, T: int = 0,
+                      P: int = 0) -> int:
     """Largest lane-multiple block whose register + look-ahead live set
-    fits the forward kernel's VMEM budget."""
+    fits the forward kernel's VMEM budget.
+
+    ``T``/``P`` account for the pipeline-double-buffered input blocks
+    (xs/l2 track blocks, and the per-step displacement-variance stream
+    when P > 0): without them a long-T input passes the cap check but
+    overflows vmem_limit_bytes at Mosaic compile time instead of falling
+    back to XLA."""
     per_lane = ((2 * D + 1) + 3 * A + 2 * D + 6) * K * 4
+    per_lane += 2 * (2 * T * D + max(T - 1, 0) * P) * 4   # double-buffered
     return (_SCRATCH_BUDGET // per_lane) // 128 * 128
 
 
@@ -60,26 +68,36 @@ def _dig(k, i, S, W):
     return (k // S ** (W - 1 - i)) % S
 
 
+# the kernels' max-shifted exp-sums assume FINITE log tables (build_tables
+# floors log(0) at -1e15); a hand-built ModelTables with true -inf entries
+# would yield NaN (inf - inf).  The floor is re-applied here so direct
+# ModelTables construction is safe on the Pallas path too.
+_LOG_FLOOR = -1e15
+
+
 def build_slot_tables(tables: ModelTables, window: int, nb_substeps: int):
     """(lp0, s2_init, lt, lsurv, end, sig2) as (K,) vectors in the
     newest-high slot encoding (same as core.engine)."""
     S = tables.nb_states
     W, n = window, nb_substeps
+    if W < n + 1:     # same diagnostic as core.engine.make_register_spec
+        raise ValueError(
+            f"window ({W}) must be >= nb_substeps+1 ({n + 1})")
     K = S ** W
     k = np.arange(K)
 
-    log_T = tables.log_trans
+    log_T = jnp.maximum(tables.log_trans, _LOG_FLOOR)
     # transition chain of the n newest digits: prev state = digit n,
     # chain prev -> a_{n-1} -> ... -> a_0 (digit 0 = newest)
     lt = jnp.zeros((K,), log_T.dtype)
     for j in range(n):
         lt = lt + log_T[_dig(k, j + 1, S, W), _dig(k, j, S, W)]
-    lsurv = tables.log_survive[k // S ** (W - n)]     # pattern = n newest
-    end = tables.end_ll[_dig(k, 0, S, W)]
+    lsurv = jnp.maximum(tables.log_survive, _LOG_FLOOR)[k // S ** (W - n)]
+    end = jnp.maximum(tables.end_ll, _LOG_FLOOR)[_dig(k, 0, S, W)]
     sig2_row = tables.sig2.reshape(-1, tables.sig2.shape[-1])[0]
     sig2 = sig2_row[k // S ** (W - n - 1)]            # n+1 newest digits
 
-    log_F = tables.log_frac
+    log_F = jnp.maximum(tables.log_frac, _LOG_FLOOR)
     lp0 = log_F[_dig(k, n, S, W)]
     for j in range(n):
         lp0 = lp0 + log_T[_dig(k, j + 1, S, W), _dig(k, j, S, W)]
@@ -104,14 +122,16 @@ def build_next_tables(tables: ModelTables, window: int, nb_substeps: int):
     def dig_a(i):                 # i-th newest digit of pattern a
         return (a // S ** (n - 1 - i)) % S
 
-    log_T = tables.log_trans
+    log_T = jnp.maximum(tables.log_trans, _LOG_FLOOR)
     ltn = log_T[newest_k, dig_a(n - 1)]
     for j in range(n - 1):
         ltn = ltn + log_T[dig_a(j + 1), dig_a(j)]
     sig2_row = tables.sig2.reshape(-1, tables.sig2.shape[-1])[0]
     s2n = sig2_row[a * S + newest_k]                      # (K, A)
-    lsn = jnp.broadcast_to(tables.log_survive[None, :], (K, A))
-    endn = jnp.broadcast_to(tables.end_ll[a // S ** (n - 1)], (K, A))
+    lsn = jnp.broadcast_to(
+        jnp.maximum(tables.log_survive, _LOG_FLOOR)[None, :], (K, A))
+    endn = jnp.broadcast_to(
+        jnp.maximum(tables.end_ll, _LOG_FLOOR)[a // S ** (n - 1)], (K, A))
     return ltn, s2n, lsn, endn
 
 
@@ -253,39 +273,48 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
         # The shift max(lp - quad) omits the bounded -0.5*log(prod) part, so
         # exp args stay <= 0 and the rsqrt factors (e^(+-15)ish) can't
         # overflow; the logsumexp value is exact for any finite shift.
-        base3 = (lp - quad).reshape(G, A, BLK)
-        rq3 = jax.lax.rsqrt(prod).reshape(G, A, BLK)
-        mxs = base3[:, 0]
-        for o in range(1, A):
-            mxs = jnp.maximum(mxs, base3[:, o])
-        w = [jnp.exp(base3[:, o] - mxs) * rq3[:, o] for o in range(A)]
-        sw = w[0]
-        for o in range(1, A):
-            sw = sw + w[o]
-        inv_sw = 1.0 / jnp.maximum(sw, _TINY)
-        lp_f = mxs + jnp.log(jnp.maximum(sw, _TINY))
-
-        keep = (t < lengths - 1)[None, :]
-        s2_add = (s2_slot_table(jnp.minimum(t, T - 2)) if per_step
-                  else s2v_ref[:])
-        for d in range(D):
-            nm3 = new_m[d].reshape(G, A, BLK)
-            tl3 = tail[d].reshape(G, A, BLK)
-            m_f = w[0] * nm3[:, 0]
-            t_f = w[0] * tl3[:, 0]
+        # Gated on t < lmax - 2: the carry written at the loop's final step
+        # (t = lmax - 2) is only ever read at t = lmax - 1, which never
+        # executes — for every lane the last interior fusion is dead work
+        # (the whole fusion for 3-frame buckets).
+        @pl.when(t < lmax - 2)
+        def _fuse_update():
+            base3 = (lp - quad).reshape(G, A, BLK)
+            rq3 = jax.lax.rsqrt(prod).reshape(G, A, BLK)
+            mxs = base3[:, 0]
             for o in range(1, A):
-                m_f += w[o] * nm3[:, o]
-                t_f += w[o] * tl3[:, o]
-            m_f *= inv_sw
-            t_f *= inv_sw
-            # children of slot g are rows a*G+g: tile the fused block A times
-            m_sc[d] = jnp.where(keep, pltpu.repeat(m_f, A, axis=0), m_sc[d])
-            s2_sc[d] = jnp.where(keep,
-                                 s2_add + pltpu.repeat(t_f, A, axis=0),
-                                 s2_sc[d])
-        lp_new = (pltpu.repeat(lp_f, A, axis=0) + ltv_ref[:]
-                  + gate * lsv_ref[:])
-        lp_sc[:] = jnp.where(keep, lp_new, lp)
+                mxs = jnp.maximum(mxs, base3[:, o])
+            w = [jnp.exp(base3[:, o] - mxs) * rq3[:, o] for o in range(A)]
+            sw = w[0]
+            for o in range(1, A):
+                sw = sw + w[o]
+            inv_sw = 1.0 / jnp.maximum(sw, _TINY)
+            lp_f = mxs + jnp.log(jnp.maximum(sw, _TINY))
+
+            keep = (t < lengths - 1)[None, :]
+            s2_add = (s2_slot_table(jnp.minimum(t, T - 2)) if per_step
+                      else s2v_ref[:])
+            for d in range(D):
+                nm3 = new_m[d].reshape(G, A, BLK)
+                tl3 = tail[d].reshape(G, A, BLK)
+                m_f = w[0] * nm3[:, 0]
+                t_f = w[0] * tl3[:, 0]
+                for o in range(1, A):
+                    m_f += w[o] * nm3[:, o]
+                    t_f += w[o] * tl3[:, o]
+                m_f *= inv_sw
+                t_f *= inv_sw
+                # children of slot g are rows a*G+g: tile the fused block
+                # A times
+                m_sc[d] = jnp.where(keep, pltpu.repeat(m_f, A, axis=0),
+                                    m_sc[d])
+                s2_sc[d] = jnp.where(keep,
+                                     s2_add + pltpu.repeat(t_f, A, axis=0),
+                                     s2_sc[d])
+            lp_new = (pltpu.repeat(lp_f, A, axis=0) + ltv_ref[:]
+                      + gate * lsv_ref[:])
+            lp_sc[:] = jnp.where(keep, lp_new, lp)
+
         return acc
 
     # dynamic trip count: the last useful step is the look-ahead closing at
@@ -337,7 +366,7 @@ def forward_pallas(positions,
     ltn, s2n, lsn, endn = [v.astype(f32)
                            for v in build_next_tables(tables, W, n)]
 
-    cap = forward_block_cap(D, K, A)
+    cap = forward_block_cap(D, K, A, T, P if per_step else 0)
     if cap < 128:
         raise NotImplementedError(
             f"register for K={K}, A={A} exceeds the VMEM budget — "

@@ -29,8 +29,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from extrack_tpu.core.tables import ModelTables
-from extrack_tpu.ops.pallas_engine import (build_next_tables,
-                                            build_slot_tables, classify_sig2)
+from extrack_tpu.ops.pallas_engine import (VMEM_LIMIT, _sig2_stream,
+                                           build_next_tables,
+                                           build_slot_tables, classify_sig2)
 
 _TINY = 1e-30
 
@@ -265,8 +266,15 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
                                  read_next(l2_ref, t), t, lengths, isbl,
                                  ltn, s2n, lsn, endn, sig2_t),
             zero_row, None)
-        m, s2, lp = interior(m, s2, lp, x, l2, t, lengths, ltv, lsv, s2v,
-                             sig2_t)
+        # the carry produced at the loop's final step is never read (it
+        # would feed t = lmax - 1, which is fully masked and skipped):
+        # gate the fuse+update away there — its pullback is gated the same
+        # way in the backward walk below
+        m, s2, lp = jax.lax.cond(
+            t < lmax - 2,
+            lambda _: interior(m, s2, lp, x, l2, t, lengths, ltv, lsv,
+                               s2v, sig2_t),
+            lambda _: (m, s2, lp), None)
         return (m, s2, lp, acc)
 
     # dynamic trip count: the last useful step is the look-ahead closing at
@@ -305,21 +313,38 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
         l2 = read_td(l2_ref, t)
         sig2_t = read_sig2(t)
 
+        # the interior pullback at the walk's first step (t = tmax - 1)
+        # replays against the all-zero seed cotangent ct0 — pure waste;
+        # gated exactly like the forward's final fuse+update
         if per_step:
-            def fi(c3_, l2_, ltv_, lsv_, s2v_, sg_):
-                return interior(c3_[0], c3_[1], c3_[2], x, l2_, t, lengths,
-                                ltv_, lsv_, s2v_, sg_)
+            def pull_int(_):
+                def fi(c3_, l2_, ltv_, lsv_, s2v_, sg_):
+                    return interior(c3_[0], c3_[1], c3_[2], x, l2_, t,
+                                    lengths, ltv_, lsv_, s2v_, sg_)
 
-            _, pull = jax.vjp(fi, c3, l2, ltv, lsv, s2v, sig2_t)
-            (d_c3, d_l2, d_ltv, d_lsv, d_s2v,
-             d_sg) = pull((ct_m, ct_s2, ct_lp))
+                _, pull = jax.vjp(fi, c3, l2, ltv, lsv, s2v, sig2_t)
+                return pull((ct_m, ct_s2, ct_lp))
+
+            def zero_int(_):
+                return ((zDK, zDK, zKB), zD1, zK, zK, zK,
+                        jnp.zeros((P, BLK), jnp.float32))
+
+            (d_c3, d_l2, d_ltv, d_lsv, d_s2v, d_sg) = jax.lax.cond(
+                t < lmax - 2, pull_int, zero_int, None)
         else:
-            def fi(c3_, l2_, ltv_, lsv_, s2v_):
-                return interior(c3_[0], c3_[1], c3_[2], x, l2_, t, lengths,
-                                ltv_, lsv_, s2v_)
+            def pull_int(_):
+                def fi(c3_, l2_, ltv_, lsv_, s2v_):
+                    return interior(c3_[0], c3_[1], c3_[2], x, l2_, t,
+                                    lengths, ltv_, lsv_, s2v_)
 
-            _, pull = jax.vjp(fi, c3, l2, ltv, lsv, s2v)
-            d_c3, d_l2, d_ltv, d_lsv, d_s2v = pull((ct_m, ct_s2, ct_lp))
+                _, pull = jax.vjp(fi, c3, l2, ltv, lsv, s2v)
+                return pull((ct_m, ct_s2, ct_lp))
+
+            def zero_int(_):
+                return ((zDK, zDK, zKB), zD1, zK, zK, zK)
+
+            d_c3, d_l2, d_ltv, d_lsv, d_s2v = jax.lax.cond(
+                t < lmax - 2, pull_int, zero_int, None)
 
         if has_len2:
             def pull_l2(_):
@@ -499,12 +524,58 @@ def _grad_call(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
       ltn, s2n, lsn, endn, sig2s)
 
 
+def _value_call(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
+                s2v, ltn, s2n, lsn, endn, sig2s):
+    """Value-only dispatch on the FORWARD kernel.
+
+    The custom-vjp primal below runs when nobody differentiates; paying
+    the gradient kernel's carry-history scratch plus its whole backward
+    walk there would cost ~3x the forward kernel for the same scalar."""
+    from extrack_tpu.ops import pallas_engine as pe
+    T, D, K, A, G, BLK, min_len, S, P, _ = static
+    per_step = P > 0
+    Bp = xs.shape[1]
+    kernel = functools.partial(pe._kernel, T=T, D=D, K=K, A=A, G=G,
+                               BLK=BLK, min_len=min_len, S=S, P=P)
+    track_spec = pl.BlockSpec((T * D, BLK), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, BLK), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((K, 1), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((K, A), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    if per_step:
+        s2v_spec = pl.BlockSpec(((T - 1) * P, BLK), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+        s2v_arg = sig2s
+    else:
+        s2v_spec = vec_spec
+        s2v_arg = s2v
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp // BLK,),
+        in_specs=[track_spec, track_spec, row_spec, row_spec,
+                  vec_spec, vec_spec, vec_spec, vec_spec, vec_spec,
+                  s2v_spec, mat_spec, mat_spec, mat_spec, mat_spec],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((D, K, BLK), jnp.float32),
+                        pltpu.VMEM((D, K, BLK), jnp.float32),
+                        pltpu.VMEM((K, BLK), jnp.float32)],
+        compiler_params=None if INTERPRET else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=INTERPRET,
+    )(xs, l2, lengths_f.astype(jnp.int32), isbl, lp0, s20, ltv, lsv, endv,
+      s2v_arg, ltn, s2n, lsn, endn)
+    return -jnp.sum(out)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _neg_logl(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
               s2v, ltn, s2n, lsn, endn, sig2s):
-    out = _grad_call(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv,
-                     endv, s2v, ltn, s2n, lsn, endn, sig2s)
-    return -jnp.sum(out[0])
+    return _value_call(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv,
+                       endv, s2v, ltn, s2n, lsn, endn, sig2s)
 
 
 def _neg_logl_fwd(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
@@ -518,18 +589,22 @@ def _neg_logl_fwd(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
 
 
 def _neg_logl_bwd(static, residuals, g):
+    """Cotangents for (xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
+    s2v, ltn, s2n, lsn, endn, sig2s).
+
+    Positions (xs) get a ZERO cotangent: the backward walk accumulates
+    table/loc-err/dt cotangents only (the fit differentiates parameters,
+    never the data).  jax.grad of neg_log_likelihood w.r.t. positions is
+    therefore silently zero on this path — use the XLA engine
+    (core.engine.forward) for position sensitivities."""
     (xs, lengths_f, isbl), ct_l2, ct_vecs, ct_mats, ct_s2s = residuals
     s = -g
     return (jnp.zeros_like(xs), s * ct_l2, jnp.zeros_like(lengths_f),
             jnp.zeros_like(isbl)) \
-        + tuple(s * c[:, 0, None] * 1.0 for c in ct_vecs) \
+        + tuple(s * c for c in ct_vecs) \
         + tuple(s * c for c in ct_mats) \
         + (s * ct_s2s,)
 
-
-_neg_logl_bwd_outputs_note = """bwd returns cotangents for
-(xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv, s2v, ltn, s2n, lsn,
-endn, sig2s)."""
 
 _neg_logl.defvjp(_neg_logl_fwd, _neg_logl_bwd)
 
@@ -537,9 +612,8 @@ _neg_logl.defvjp(_neg_logl_fwd, _neg_logl_bwd)
 # Mosaic's scoped-VMEM allocation covers the declared scratch (the carry
 # history) PLUS the live set of the in-kernel jax.vjp pullback, which grows
 # with the look-ahead branch count A = S^n.  Blocks are sized so both fit
-# the budget, and the Mosaic limit is raised above its 16MiB default
-# (v5e/v5p have 128MiB of physical VMEM per core).
-VMEM_LIMIT = 64 * 1024 * 1024
+# the budget; VMEM_LIMIT is shared with pallas_engine (raised above
+# Mosaic's 16MiB default; v5e/v5p have 128MiB of physical VMEM per core).
 _SCRATCH_BUDGET = 28 * 1024 * 1024
 
 
@@ -569,6 +643,12 @@ def neg_log_likelihood(positions, lengths, is_bleached, tables: ModelTables,
     Variable dt rides along as a lane-sharded ((T-1)*P, B) displacement-
     variance stream (differentiable — its cotangent flows back to Ds/dt
     through the stream construction).
+
+    NOT differentiable w.r.t. ``positions``: the backward walk accumulates
+    table cotangents only, so jax.grad w.r.t. the data is silently ZERO
+    here (the fit never needs it); use core.engine.forward for position
+    sensitivities.  Value-only calls (outside jax.grad) dispatch the cheap
+    forward kernel instead of the fwd+bwd pair.
 
     ``has_len2=False`` statically removes the 2-frame-track closing from
     both passes; callers that know the dataset host-side (fit objectives
@@ -607,9 +687,10 @@ def neg_log_likelihood(positions, lengths, is_bleached, tables: ModelTables,
     xs = positions.astype(f32).transpose(1, 2, 0).reshape(T * D, B)
     l2 = l2.transpose(1, 2, 0).reshape(T * D, B)
     if per_step:
-        # lane-sharded stream, shared per-step tables broadcast over tracks
-        sig2b = jnp.broadcast_to(sig2.astype(f32), (B, T - 1, P))
-        sig2s = sig2b.transpose(1, 2, 0).reshape((T - 1) * P, B)
+        # the same lane-sharded stream the other three kernels use (row
+        # t*P+p, padded lanes at 1.0); its ops are all differentiable so
+        # the s2s cotangent flows back to Ds/dt through it
+        sig2s, _ = _sig2_stream(sig2, T, P, B, Bp, BLK, f32)
     else:
         sig2s = jnp.zeros((1, 1), f32)
     if Bp != B:
@@ -617,9 +698,6 @@ def neg_log_likelihood(positions, lengths, is_bleached, tables: ModelTables,
         l2 = jnp.pad(l2, ((0, 0), (0, Bp - B)), constant_values=1.0)
         lengths = jnp.pad(lengths, (0, Bp - B))
         is_bleached = jnp.pad(is_bleached, (0, Bp - B))
-        if per_step:
-            sig2s = jnp.pad(sig2s, ((0, 0), (0, Bp - B)),
-                            constant_values=1.0)
     lengths_f = lengths.astype(f32)[None, :]
     isbl = is_bleached.astype(f32)[None, :]
 

@@ -156,3 +156,57 @@ def test_grad_kernel_padded_time_and_batch():
     np.testing.assert_allclose(float(v_pl), float(v_ref), rtol=2e-5)
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_fuzz_grad_random_configs_len2_and_multiblock():
+    """Random configs through value AND gradient: length-2 lanes (the
+    close_l2 pullback), B > block (grid > 1 cross-program cotangent
+    accumulation), and per-track dt — corners the fixed-case tests skip."""
+    rng = np.random.default_rng(99)
+    for trial in range(3):
+        T = int(rng.integers(5, 8))
+        W = int(rng.integers(3, 5))
+        B = 160                       # > block=128 -> two grid programs
+        dt_mode = ["const", "per_track"][trial % 2]
+        dt = (jnp.asarray(0.02, jnp.float32) if dt_mode == "const"
+              else jnp.asarray(0.02 * rng.uniform(0.5, 1.5, (B, T - 1)),
+                               jnp.float32))
+        xs = jnp.asarray(rng.normal(0, 0.2, (B, T, 2)).cumsum(1),
+                         jnp.float32)
+        lengths = rng.integers(2, T + 1, B)     # includes 2-frame tracks
+        lengths[0] = T
+        lengths[1] = 2
+        lengths = jnp.asarray(lengths, jnp.int32)
+        isbl = jnp.asarray(rng.integers(0, 2, B), jnp.float32)
+        theta = jnp.asarray([1e-4, 0.08, 0.09, 0.06, 0.02, 0.05],
+                            jnp.float32)
+
+        def obj(use_pallas):
+            def f(th):
+                Ds = jnp.stack([th[0], th[1]])
+                rates = jnp.stack([jnp.stack([0.0 * th[2], th[2]]),
+                                   jnp.stack([th[3], 0.0 * th[3]])])
+                tb = tables.build_tables(Ds, th[4],
+                                         jnp.asarray([0.4, 0.6],
+                                                     jnp.float32),
+                                         rates, th[5], dt, cell_dims=(0.8,))
+                if use_pallas:
+                    return pallas_grad.neg_log_likelihood(
+                        xs, lengths, isbl, tb, window=W, min_len=2,
+                        block=128, has_len2=True)
+                return -jnp.sum(engine.forward(xs, lengths, isbl, tb,
+                                               window=W, min_len=2))
+            return f
+
+        msg = f"trial {trial}: T={T} W={W} dt={dt_mode}"
+        v1, g1 = jax.value_and_grad(obj(True))(theta)
+        v2, g2 = jax.value_and_grad(obj(False))(theta)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=2e-4,
+                                   err_msg="value " + msg)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg="grad " + msg)
+        # value-only path (the forward-kernel primal) agrees too
+        v3 = obj(True)(theta)
+        np.testing.assert_allclose(float(v3), float(v2), rtol=2e-4,
+                                   err_msg="primal " + msg)

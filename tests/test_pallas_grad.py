@@ -210,3 +210,46 @@ def test_fuzz_grad_random_configs_len2_and_multiblock():
         v3 = obj(True)(theta)
         np.testing.assert_allclose(float(v3), float(v2), rtol=2e-4,
                                    err_msg="primal " + msg)
+
+
+def test_grad_kernel_three_states():
+    """3-state parity (A=3, G=27: odd group sizes stress the backward's
+    per-slot interleave/untile, which the 2-state cases never do)."""
+    rng = np.random.default_rng(7)
+    Ds = np.array([0.0, 0.05, 0.2])
+    tr = np.array([[.8, .1, .1], [.1, .8, .1], [.05, .15, .8]])
+    Fs = np.array([.3, .3, .4])
+    xs, _ = _sim_tracks(rng, 8, 6, 2, Ds, tr, Fs, 0.02, 0.02)
+    lengths = np.array([6, 5, 6, 3, 4, 6, 2, 5])
+    isbl = (lengths < 6).astype(float)
+    xs = jnp.asarray(xs, jnp.float32)
+    lengths = jnp.asarray(lengths)
+    isbl = jnp.asarray(isbl, jnp.float32)
+
+    def obj(use_pallas):
+        def f(th):
+            Ds_ = jnp.stack([th[0], th[1], th[2]])
+            rates = jnp.stack(
+                [jnp.stack([0.0 * th[3], th[3], th[4]]),
+                 jnp.stack([th[5], 0.0 * th[3], th[6]]),
+                 jnp.stack([th[7], th[8], 0.0 * th[3]])])
+            tb = tables.build_tables(Ds_, th[9], jnp.asarray(Fs,
+                                                            jnp.float32),
+                                     rates, th[10],
+                                     jnp.asarray(0.02, jnp.float32),
+                                     cell_dims=(0.8,))
+            if use_pallas:
+                return pallas_grad.neg_log_likelihood(
+                    xs, lengths, isbl, tb, window=4, min_len=2,
+                    has_len2=True)
+            return -jnp.sum(engine.forward(xs, lengths, isbl, tb,
+                                           window=4, min_len=2))
+        return f
+
+    theta = jnp.asarray([1e-4, 0.04, 0.18, 0.1, 0.12, 0.08, 0.14, 0.06,
+                         0.16, 0.02, 0.06], jnp.float32)
+    v_pl, g_pl = jax.value_and_grad(obj(True))(theta)
+    v_x, g_x = jax.value_and_grad(obj(False))(theta)
+    np.testing.assert_allclose(float(v_pl), float(v_x), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_x),
+                               rtol=3e-3, atol=3e-3)

@@ -21,3 +21,19 @@ def test_no_user_frames_in_mlir_locations():
 
 def test_compilation_cache_configured():
     assert jax.config.jax_compilation_cache_dir
+
+
+def test_cpu_cache_dir_is_host_fingerprinted():
+    # Cached XLA:CPU AOT executables embed the compile host's machine
+    # features; loading an entry written by a different host intermittently
+    # SIGILLs/aborts (observed under scipy L-BFGS in the test suite when
+    # the cache directory outlived the VM that wrote it).  CPU-primary
+    # processes must therefore use a host-fingerprinted directory, never
+    # the shared TPU one.
+    from extrack_tpu import config
+
+    d = jax.config.jax_compilation_cache_dir
+    assert d and "_cpu_" in d
+    assert d == config.cpu_cache_dir(config._base_cache)
+    # the fingerprint is stable within a host
+    assert config.cpu_cache_dir("x") == config.cpu_cache_dir("x")

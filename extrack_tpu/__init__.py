@@ -10,7 +10,7 @@ TPU and shards over device meshes.
 from extrack_tpu.version import __version__  # noqa: F401
 from extrack_tpu import config, data, params, simulate  # noqa: F401
 from extrack_tpu import fit, predict, tracking, parallel  # noqa: F401
-from extrack_tpu import histograms, pipeline  # noqa: F401
+from extrack_tpu import histograms, pipeline, sample  # noqa: F401
 from extrack_tpu.core import engine, gaussian, oracle, tables  # noqa: F401
 
 # reference-compatible module names (extrack/__init__.py:1-10)

@@ -199,6 +199,16 @@ class Parameters:
             out[n] = _from_z(z[i], p.min, p.max)
         return out
 
+    def unconstrained_log_jacobian(self, z):
+        """Sum of log |d theta_i / d z_i| over the free parameters: the
+        change-of-variables term that makes a flat prior on the bounded
+        parameters flat in unconstrained space (see sample.py)."""
+        total = jnp.zeros((), jnp.asarray(z).dtype)
+        for i, n in enumerate(self.free_names()):
+            p = self._params[n]
+            total = total + _logdet_from_z(z[i], p.min, p.max)
+        return total
+
     def set_values(self, values: Dict[str, float]):
         for n, v in values.items():
             if n in self._params:
@@ -238,6 +248,21 @@ def _from_z(z, lo, hi):
         return hi - jnp.exp(-z)
     return lo + (hi - lo) * jnp.clip(
         1.0 / (1.0 + jnp.exp(-z)), 1e-14, 1.0 - 1e-14)
+
+
+def _logdet_from_z(z, lo, hi):
+    """log |d _from_z(z)/dz| — the bijection's log-Jacobian, used by the
+    posterior sampler so flat priors on the BOUNDED parameters stay flat
+    after the change of variables to unconstrained space."""
+    if np.isinf(lo) and np.isinf(hi):
+        return jnp.zeros_like(z)
+    if np.isinf(hi):
+        return z
+    if np.isinf(lo):
+        return -z
+    s = 1.0 / (1.0 + jnp.exp(-z))
+    return (np.log(hi - lo) + jnp.log(jnp.clip(s, 1e-14))
+            + jnp.log(jnp.clip(1.0 - s, 1e-14)))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,296 @@
+"""Bayesian posterior sampling for the diffusion-state model (HMC).
+
+Beyond the reference's surface (point MLE + Fisher errors,
+extrack/tracking.py:1299-1387 and the tutorial's notebook-level error
+analysis): full posterior samples over {LocErr, D_i, F_i, p_ij, pBL},
+using the SAME jitted likelihood the fit driver optimizes — on TPU every
+leapfrog step runs the Pallas custom-VJP gradient kernel, so a thousand
+posterior draws cost about a thousand optimizer iterations.
+
+TPU-native design: the whole chain — dual-averaging step-size warmup,
+diagonal mass-matrix estimation, and the sampling phase — is a pair of
+``lax.scan``s inside ONE jitted program per chain; a run is a single
+device dispatch regardless of chain length (through the remote-TPU
+tunnel a per-sample dispatch would cost ~28 ms each, dwarfing the
+kernel).  Track batches enter as jit ARGUMENTS (never closed over — a
+closed-over 1M-track dataset bakes into the executable, CLAUDE.md).
+
+The target density is the likelihood times a flat prior on the BOUNDED
+parameters: sampling runs in the fit's unconstrained space z, so the
+bijections' log-Jacobian (params.Parameters.unconstrained_log_jacobian)
+is added to keep the flat prior flat after the change of variables.
+Improper posteriors this can produce for truly unbounded parameters are
+the user's usual responsibility (the default parameter bounds are all
+finite except via generate_params' explicit choices).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from extrack_tpu import data as tdata
+from extrack_tpu import fit as tfit
+from extrack_tpu import params as tparams
+
+
+@dataclass
+class SampleResult:
+    """Posterior samples in CONSTRAINED (physical) parameter space.
+
+    samples: name -> (num_chains, num_samples) array; free parameters
+    only (expr-derived quantities can be recomputed via spec.resolve).
+    """
+    samples: Dict[str, np.ndarray]
+    accept_rate: float
+    step_size: float
+    mass: np.ndarray
+    rhat: Dict[str, float] = field(default_factory=dict)
+    ess: Dict[str, float] = field(default_factory=dict)
+
+    def summary(self) -> str:
+        rows = [f"{'param':>14}  {'mean':>10}  {'std':>10}  {'5%':>10}  "
+                f"{'95%':>10}  {'R-hat':>6}  {'ESS':>7}"]
+        for n, s in self.samples.items():
+            flat = s.reshape(-1)
+            q5, q95 = np.quantile(flat, [0.05, 0.95])
+            rows.append(
+                f"{n:>14}  {flat.mean():10.5g}  {flat.std():10.4g}  "
+                f"{q5:10.5g}  {q95:10.5g}  "
+                f"{self.rhat.get(n, float('nan')):6.3f}  "
+                f"{self.ess.get(n, float('nan')):7.1f}")
+        rows.append(f"acceptance {self.accept_rate:.2f}, "
+                    f"step size {self.step_size:.3g}")
+        return "\n".join(rows)
+
+
+def _leapfrog(vg, z, p, inv_mass, eps, n_steps, data):
+    """n_steps of leapfrog on H = U(z) + 0.5 p^T M^-1 p."""
+    def step(carry, _):
+        z, p, g = carry
+        p_half = p - 0.5 * eps * g
+        z_new = z + eps * inv_mass * p_half
+        u_new, g_new = vg(z_new, data)
+        p_new = p_half - 0.5 * eps * g_new
+        return (z_new, p_new, g_new), u_new
+
+    (z, p, g), us = jax.lax.scan(step, (z, p, vg(z, data)[1]), None,
+                                 length=n_steps)
+    return z, p, us[-1], g
+
+
+def _hmc_chain(vg, z0, data, key, *, num_warmup, num_samples, n_leapfrog,
+               target_accept, init_step):
+    """One chain, fully jitted.
+
+    Warmup in two phases: (A) dual-averaging step-size adaptation at
+    identity mass, estimating the posterior variance over its second
+    half; (B) re-adaptation of the step size under the new diagonal
+    mass (a step size tuned for one metric does not transfer to
+    another).  Then the sampling scan with both frozen.
+    """
+    dim = z0.shape[0]
+    dtype = z0.dtype
+
+    def kinetic(p, inv_mass):
+        return 0.5 * jnp.sum(p * p * inv_mass)
+
+    def hmc_step(z, u, key, eps, inv_mass):
+        k1, k2 = jax.random.split(key)
+        p = jax.random.normal(k1, (dim,), dtype) / jnp.sqrt(inv_mass)
+        z_new, p_new, u_new, _ = _leapfrog(vg, z, p, inv_mass, eps,
+                                           n_leapfrog, data)
+        h0 = u + kinetic(p, inv_mass)
+        h1 = u_new + kinetic(p_new, inv_mass)
+        log_acc = jnp.where(jnp.isfinite(h1), jnp.minimum(0.0, h0 - h1),
+                            -jnp.inf)
+        accept = jnp.log(jax.random.uniform(k2, dtype=dtype)) < log_acc
+        z = jnp.where(accept, z_new, z)
+        u = jnp.where(accept, u_new, u)
+        return z, u, jnp.exp(log_acc)
+
+    def warm_phase(z, u, key, inv_mass, steps, eps0, collect_from):
+        """Dual averaging (Hoffman & Gelman 2014, sec. 3.2) toward
+        target_accept; accumulates z moments from ``collect_from`` on."""
+        mu = jnp.log(10.0) + jnp.log(eps0)
+
+        def body(carry, i):
+            z, u, key, log_eps, log_eps_bar, h_bar, s1, s2, n = carry
+            key, sub = jax.random.split(key)
+            z, u, alpha = hmc_step(z, u, sub, jnp.exp(log_eps), inv_mass)
+            t = i + 1.0
+            h_bar = (1.0 - 1.0 / (t + 10.0)) * h_bar \
+                + (target_accept - alpha) / (t + 10.0)
+            log_eps = mu - jnp.sqrt(t) / 0.05 * h_bar
+            w = t ** -0.75
+            log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+            in_win = (i >= collect_from).astype(dtype)
+            return (z, u, key, log_eps, log_eps_bar, h_bar,
+                    s1 + in_win * z, s2 + in_win * z * z, n + in_win), None
+
+        carry0 = (z, u, key, jnp.log(eps0), jnp.log(eps0),
+                  jnp.zeros((), dtype), jnp.zeros((dim,), dtype),
+                  jnp.zeros((dim,), dtype), jnp.zeros((), dtype))
+        carry, _ = jax.lax.scan(body, carry0,
+                                jnp.arange(steps, dtype=dtype))
+        z, u = carry[0], carry[1]
+        eps_bar = jnp.exp(carry[4])
+        n = jnp.maximum(carry[8], 2.0)
+        var = jnp.maximum(carry[7] / n - (carry[6] / n) ** 2, 0.0)
+        return z, u, carry[2], eps_bar, var
+
+    u0 = vg(z0, data)[0]
+    steps_a = max(2 * num_warmup // 3, 1)
+    steps_b = max(num_warmup - steps_a, 1)
+    key, ka = jax.random.split(key)
+    z, u, key, eps_a, var = warm_phase(
+        z0, u0, ka, jnp.ones((dim,), dtype), steps_a,
+        jnp.asarray(init_step, dtype), steps_a // 2)
+    inv_mass = jnp.clip(var, 1e-6, 1e6)
+    z, u, key, eps, _ = warm_phase(z, u, key, inv_mass, steps_b, eps_a,
+                                   steps_b + 1)
+
+    def samp_body(carry, _):
+        z, u, key = carry
+        key, sub = jax.random.split(key)
+        z, u, alpha = hmc_step(z, u, sub, eps, inv_mass)
+        return (z, u, key), (z, alpha)
+
+    (z, u, _), (zs, alphas) = jax.lax.scan(samp_body, (z, u, key), None,
+                                           length=num_samples)
+    return zs, jnp.mean(alphas), eps, inv_mass
+
+
+def _split_rhat(x: np.ndarray) -> float:
+    """Split-chain R-hat of (chains, samples)."""
+    c, n = x.shape
+    if n < 4:
+        return float("nan")
+    halves = x[:, : (n // 2) * 2].reshape(c * 2, n // 2)
+    m, s = halves.mean(1), halves.var(1, ddof=1)
+    w = s.mean()
+    b = halves.shape[1] * m.var(ddof=1)
+    if w <= 0:
+        return float("nan")
+    return float(np.sqrt((halves.shape[1] - 1) / halves.shape[1]
+                         + b / (w * halves.shape[1])))
+
+
+def _ess(x: np.ndarray) -> float:
+    """Bulk effective sample size of (chains, samples) via pairwise
+    autocorrelation sums (Geyer initial positive sequence)."""
+    c, n = x.shape
+    if n < 4:
+        return float("nan")
+    xc = x - x.mean(axis=1, keepdims=True)
+    acov = np.stack([np.correlate(r, r, mode="full")[n - 1:] / n
+                     for r in xc]).mean(0)
+    if acov[0] <= 0:
+        return float("nan")
+    rho = acov / acov[0]
+    tau = 1.0
+    for k in range(1, n - 2, 2):
+        pair = rho[k] + rho[k + 1]
+        if pair < 0:
+            break
+        tau += 2.0 * pair
+    return float(c * n / tau)
+
+
+def sample_posterior(all_tracks: Dict[str, np.ndarray],
+                     dt,
+                     params: Optional[tparams.Parameters] = None,
+                     nb_states: int = 2,
+                     *,
+                     num_samples: int = 1000,
+                     num_warmup: int = 500,
+                     num_chains: int = 2,
+                     n_leapfrog: int = 24,
+                     target_accept: float = 0.8,
+                     init_step: float = 0.05,
+                     seed: int = 0,
+                     cell_dims=(0.5, None, None),
+                     nb_substeps: int = 1,
+                     window: int = 6,
+                     min_len: Optional[int] = None,
+                     matrix_type: int = 1,
+                     input_LocErr=None,
+                     max_buckets: int = 4,
+                     sharded: bool = False,
+                     verbose: int = 0) -> SampleResult:
+    """HMC posterior samples for the model parameters on a track dataset.
+
+    Same dataset/model arguments as ``fit.param_fitting``; ``params``
+    (its values = the chains' start point — run a fit first for a warm
+    start) defaults to ``generate_params(nb_states)``.  Flat priors on
+    the bounded parameters; fixed (vary=False) and expr-derived
+    parameters stay fixed/derived exactly as in the fit.
+
+    Returns a SampleResult with per-parameter samples in physical space,
+    split-chain R-hat and effective sample sizes.
+    """
+    if params is None:
+        params = tparams.generate_params(nb_states=nb_states,
+                                         nb_dims=2, LocErr_type=1)
+    spec = params
+    batches = tdata.from_dict_bucketed(
+        all_tracks, max_buckets=max_buckets, canonical_shapes=True,
+        input_loc_err=input_LocErr,
+        dt=dt if isinstance(dt, dict) else None)
+    neg_logl = tfit.make_objective(
+        batches, spec, dt if not isinstance(dt, dict) else 0.0, nb_states,
+        cell_dims=cell_dims, nb_substeps=nb_substeps, window=window,
+        min_len=min_len, matrix_type=matrix_type,
+        input_loc_err=input_LocErr is not None, sharded=sharded)
+    data = jax.device_put(neg_logl.batches)
+
+    def potential(z, data):
+        # U = -log posterior = neg_logl - log|dtheta/dz| (flat prior)
+        return neg_logl(z, data) - spec.unconstrained_log_jacobian(z)
+
+    vg = jax.value_and_grad(potential)
+
+    chain = jax.jit(lambda z0, key, data: _hmc_chain(
+        vg, z0, data, key, num_warmup=num_warmup, num_samples=num_samples,
+        n_leapfrog=n_leapfrog, target_accept=target_accept,
+        init_step=init_step))
+
+    z0 = jnp.asarray(spec.to_unconstrained(),
+                     jnp.float64 if jax.config.jax_enable_x64
+                     else jnp.float32)
+    names = spec.free_names()
+    all_z, accs, epss = [], [], []
+    inv_mass = None
+    for c in range(num_chains):
+        key = jax.random.PRNGKey(seed + 1000003 * c)
+        # over-dispersed starts: jitter the init per chain
+        jit_key, key = jax.random.split(key)
+        z_start = z0 + 0.1 * jax.random.normal(jit_key, z0.shape,
+                                               dtype=z0.dtype)
+        zs, acc, eps, inv_mass = chain(z_start, key, data)
+        all_z.append(np.asarray(zs))
+        accs.append(float(acc))
+        epss.append(float(eps))
+        if verbose:
+            print(f"chain {c}: acceptance {float(acc):.2f}, "
+                  f"step size {float(eps):.3g}")
+
+    z_arr = np.stack(all_z)                      # (chains, samples, dim)
+    # constrained-space samples per free parameter
+    samples: Dict[str, np.ndarray] = {}
+    for i, n in enumerate(names):
+        p = spec._params[n]
+        samples[n] = np.asarray(
+            tparams._from_z(jnp.asarray(z_arr[..., i]), p.min, p.max))
+    rhat = {n: _split_rhat(samples[n]) for n in names}
+    ess = {n: _ess(samples[n]) for n in names}
+    return SampleResult(samples=samples,
+                        accept_rate=float(np.mean(accs)),
+                        step_size=float(np.mean(epss)),
+                        mass=np.asarray(1.0 / np.maximum(
+                            np.asarray(inv_mass), 1e-300)),
+                        rhat=rhat, ess=ess)

@@ -1,0 +1,84 @@
+"""Posterior sampling (extrack_tpu.sample): HMC correctness and an
+end-to-end recovery check against Fisher errors."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from extrack_tpu import params as tparams
+from extrack_tpu import sample as tsample
+
+
+def test_hmc_chain_gaussian_moments():
+    """The raw chain samples a correlated Gaussian with the right
+    moments (exact target: no likelihood, pure integrator test)."""
+    cov = np.array([[1.0, 0.6, 0.0],
+                    [0.6, 2.0, 0.3],
+                    [0.0, 0.3, 0.5]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+    mean = jnp.asarray([1.0, -2.0, 0.5])
+
+    def vg(z, data):
+        del data
+        d = z - mean
+        u = 0.5 * d @ prec @ d
+        return u, prec @ d
+
+    zs, acc, eps, inv_mass = jax.jit(
+        lambda z0, key: tsample._hmc_chain(
+            vg, z0, None, key, num_warmup=500, num_samples=1500,
+            n_leapfrog=16, target_accept=0.8, init_step=0.1))(
+        jnp.zeros(3, jnp.float64 if jax.config.jax_enable_x64
+                  else jnp.float32), jax.random.PRNGKey(0))
+    zs = np.asarray(zs)
+    assert 0.4 < float(acc) <= 1.0
+    np.testing.assert_allclose(zs.mean(0), np.asarray(mean), atol=0.25)
+    np.testing.assert_allclose(np.cov(zs.T), cov, atol=0.6)
+    # the adapted diagonal mass tracks the marginal variances
+    assert np.all(np.asarray(inv_mass) > 0.1 * np.diag(cov))
+
+
+def test_split_rhat_and_ess():
+    rng = np.random.default_rng(0)
+    iid = rng.normal(size=(2, 400))
+    assert abs(tsample._split_rhat(iid) - 1.0) < 0.05
+    assert tsample._ess(iid) > 200
+    # disjoint chains -> R-hat far above 1
+    shifted = iid + np.array([[0.0], [5.0]])
+    assert tsample._split_rhat(shifted) > 1.5
+
+
+@pytest.mark.slow
+def test_sample_posterior_matches_fisher():
+    """On simulated data the posterior (flat prior) concentrates like the
+    Fisher errors: mean within ~3 posterior std of truth, std within 3x
+    of the Fisher std for D1."""
+    from extrack_tpu import fit, simulate
+
+    tracks, _, _ = simulate.sim_fov(
+        nb_tracks=400, max_track_len=7, min_track_len=3, LocErr=0.02,
+        Ds=(0.0, 0.08), TrMat=np.array([[0.9, 0.1], [0.1, 0.9]]),
+        dt=0.02, pBL=0.05, cell_dims=(0.5, None, None), seed=5)
+    spec = tparams.generate_params(
+        nb_states=2, LocErr_type=1, nb_dims=2, D_max=1.0,
+        estimated_LocErr=0.02, estimated_Ds=[1e-4, 0.06],
+        estimated_Fs=[0.5, 0.5], pBL_estimate=0.05)
+    res = fit.param_fitting(tracks, dt=0.02, params=spec.copy(),
+                            nb_states=2, frame_len=5, verbose=0,
+                            cell_dims=(0.5,), compute_errors=True)
+    warm = spec.copy()
+    warm.set_values({k: float(v)
+                     for k, v in res.params.valuesdict().items()
+                     if k in warm.free_names()})
+    out = tsample.sample_posterior(
+        tracks, 0.02, warm, nb_states=2, num_samples=300, num_warmup=250,
+        num_chains=2, n_leapfrog=12, window=5, cell_dims=(0.5,),
+        seed=1)
+    assert 0.35 < out.accept_rate <= 1.0
+    d1 = out.samples["D1_minus_D0"] + out.samples["D0"]
+    mean, std = d1.mean(), d1.std()
+    assert abs(mean - 0.08) < 4 * max(std, 1e-4)
+    fisher_std = res.std_errors.get("D1_minus_D0", std)
+    assert fisher_std / 4 < std < 4 * fisher_std
+    assert out.rhat["D1_minus_D0"] < 1.3

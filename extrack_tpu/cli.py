@@ -169,6 +169,24 @@ def cmd_refine(args):
     print(f"wrote {out}")
 
 
+def cmd_sample(args):
+    """Bayesian posterior sampling (HMC) over the fit likelihood."""
+    from extrack_tpu import sample
+    tracks, _, input_loc_err = _load(args)
+    spec = _params_from(args, tracks, input_loc_err)
+    out = sample.sample_posterior(
+        tracks, args.dt, spec, nb_states=args.states,
+        num_samples=args.samples, num_warmup=args.warmup,
+        num_chains=args.chains, window=args.window,
+        cell_dims=tuple(args.cell_dims), input_LocErr=input_loc_err,
+        sharded=args.sharded, seed=args.seed, verbose=args.verbose)
+    print(out.summary())
+    path = args.output or "extrack_posterior.npz"
+    np.savez(path, **out.samples,
+             accept_rate=out.accept_rate, step_size=out.step_size)
+    print(f"wrote {path} (arrays: chains x draws per free parameter)")
+
+
 def cmd_warmup(args):
     """Pre-compile the canonical program-shape ladder into the persistent
     cache, so the FIRST real analysis in a fresh process is warm.
@@ -267,6 +285,15 @@ def main(argv=None):
     p_ref = sub.add_parser("refine", help="refine positions")
     _add_io_args(p_ref)
 
+    p_samp = sub.add_parser(
+        "sample", help="Bayesian posterior sampling (HMC) — start from a "
+        "fit's --params JSON for a warm start")
+    _add_io_args(p_samp)
+    p_samp.add_argument("--samples", type=int, default=1000)
+    p_samp.add_argument("--warmup", type=int, default=500)
+    p_samp.add_argument("--chains", type=int, default=2)
+    p_samp.add_argument("--seed", type=int, default=0)
+
     p_warm = sub.add_parser(
         "warmup", help="pre-compile the canonical program shapes "
         "(one-time; later analyses start warm)")
@@ -295,7 +322,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
     {"fit": cmd_fit, "predict": cmd_predict, "histogram": cmd_hist,
      "refine": cmd_refine, "simulate": cmd_simulate,
-     "warmup": cmd_warmup}[args.command](args)
+     "sample": cmd_sample, "warmup": cmd_warmup}[args.command](args)
 
 
 if __name__ == "__main__":

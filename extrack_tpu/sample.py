@@ -7,12 +7,12 @@ using the SAME jitted likelihood the fit driver optimizes — on TPU every
 leapfrog step runs the Pallas custom-VJP gradient kernel, so a thousand
 posterior draws cost about a thousand optimizer iterations.
 
-TPU-native design: the whole chain — dual-averaging step-size warmup,
+TPU-native design: each chain — dual-averaging step-size warmup,
 diagonal mass-matrix estimation, and the sampling phase — is a pair of
-``lax.scan``s inside ONE jitted program per chain; a run is a single
-device dispatch regardless of chain length (through the remote-TPU
-tunnel a per-sample dispatch would cost ~28 ms each, dwarfing the
-kernel).  Track batches enter as jit ARGUMENTS (never closed over — a
+``lax.scan``s, and ALL chains are vmapped into ONE jitted program; a
+whole multi-chain run is a single device dispatch regardless of chain
+count or length (through the remote-TPU tunnel a per-sample dispatch
+would cost ~28 ms each, dwarfing the kernel).  Track batches enter as jit ARGUMENTS (never closed over — a
 closed-over 1M-track dataset bakes into the executable, CLAUDE.md).
 
 The target density is the likelihood times a flat prior on the BOUNDED
@@ -254,32 +254,34 @@ def sample_posterior(all_tracks: Dict[str, np.ndarray],
 
     vg = jax.value_and_grad(potential)
 
-    chain = jax.jit(lambda z0, key, data: _hmc_chain(
-        vg, z0, data, key, num_warmup=num_warmup, num_samples=num_samples,
-        n_leapfrog=n_leapfrog, target_accept=target_accept,
-        init_step=init_step))
+    # All chains run as ONE vmapped device dispatch (a per-chain Python
+    # loop would pay the ~28 ms tunnel sync per chain and serialize what
+    # the TPU can batch); data is broadcast, starts/keys are mapped.
+    chains = jax.jit(jax.vmap(
+        lambda z0, key, data: _hmc_chain(
+            vg, z0, data, key, num_warmup=num_warmup,
+            num_samples=num_samples, n_leapfrog=n_leapfrog,
+            target_accept=target_accept, init_step=init_step),
+        in_axes=(0, 0, None)))
 
     z0 = jnp.asarray(spec.to_unconstrained(),
                      jnp.float64 if jax.config.jax_enable_x64
                      else jnp.float32)
     names = spec.free_names()
-    all_z, accs, epss = [], [], []
-    inv_mass = None
-    for c in range(num_chains):
-        key = jax.random.PRNGKey(seed + 1000003 * c)
-        # over-dispersed starts: jitter the init per chain
-        jit_key, key = jax.random.split(key)
-        z_start = z0 + 0.1 * jax.random.normal(jit_key, z0.shape,
-                                               dtype=z0.dtype)
-        zs, acc, eps, inv_mass = chain(z_start, key, data)
-        all_z.append(np.asarray(zs))
-        accs.append(float(acc))
-        epss.append(float(eps))
-        if verbose:
-            print(f"chain {c}: acceptance {float(acc):.2f}, "
-                  f"step size {float(eps):.3g}")
+    keys = jnp.stack([jax.random.PRNGKey(seed + 1000003 * c)
+                      for c in range(num_chains)])
+    # over-dispersed starts: jitter the init per chain
+    jit_keys, keys = jax.vmap(jax.random.split, out_axes=1)(keys)
+    z_starts = z0 + 0.1 * jax.vmap(
+        lambda k: jax.random.normal(k, z0.shape, dtype=z0.dtype))(jit_keys)
+    zs, accs, epss, inv_mass = chains(z_starts, keys, data)
+    inv_mass = jnp.mean(inv_mass, axis=0)
+    if verbose:
+        for c in range(num_chains):
+            print(f"chain {c}: acceptance {float(accs[c]):.2f}, "
+                  f"step size {float(epss[c]):.3g}")
 
-    z_arr = np.stack(all_z)                      # (chains, samples, dim)
+    z_arr = np.asarray(zs)                       # (chains, samples, dim)
     # constrained-space samples per free parameter
     samples: Dict[str, np.ndarray] = {}
     for i, n in enumerate(names):

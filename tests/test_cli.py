@@ -40,6 +40,15 @@ def test_cli_pipeline(tmp_path):
     assert pred.returncode == 0, pred.stderr[-2000:]
     rows = open(tmp_path / "pred.csv").read().strip().splitlines()
     assert len(rows) > 100 and rows[0].startswith("TRACK_ID")
+    samp = _run(["sample", str(tmp_path / "sim.csv"), "--dt", "0.02",
+                 "--min-len", "4", "--max-len", "8", "--window", "3",
+                 "--cell-dims", "0.5", "--samples", "40", "--warmup", "40",
+                 "--chains", "2", "--params", str(tmp_path / "fit.json"),
+                 "-o", str(tmp_path / "post.npz")], cwd=str(tmp_path))
+    assert samp.returncode == 0, samp.stderr[-2000:]
+    post = np.load(tmp_path / "post.npz")
+    assert post["D1_minus_D0"].shape == (2, 40)
+    assert float(post["accept_rate"]) > 0.1
     # probe: bad input path -> nonzero exit with a readable error
     bad = _run(["fit", str(tmp_path / "missing.csv"), "--dt", "0.02"],
                cwd=str(tmp_path))

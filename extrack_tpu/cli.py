@@ -177,13 +177,24 @@ def cmd_sample(args):
     out = sample.sample_posterior(
         tracks, args.dt, spec, nb_states=args.states,
         num_samples=args.samples, num_warmup=args.warmup,
-        num_chains=args.chains, window=args.window,
+        num_chains=args.chains, n_leapfrog=args.n_leapfrog,
+        target_accept=args.target_accept, init_step=args.init_step,
+        jitter=args.jitter, window=args.window,
         cell_dims=tuple(args.cell_dims), input_LocErr=input_loc_err,
         sharded=args.sharded, seed=args.seed, verbose=args.verbose)
     print(out.summary())
+    bad = [n for n, r in out.rhat.items() if np.isfinite(r) and r > 1.05]
+    if bad:
+        print(f"WARNING: R-hat > 1.05 for {', '.join(bad)} — chains have "
+              "not mixed; increase --samples/--warmup or lower "
+              "--target-accept")
     path = args.output or "extrack_posterior.npz"
+    names = list(out.samples)
     np.savez(path, **out.samples,
-             accept_rate=out.accept_rate, step_size=out.step_size)
+             accept_rate=out.accept_rate, step_size=out.step_size,
+             rhat=np.array([out.rhat[n] for n in names]),
+             ess=np.array([out.ess[n] for n in names]),
+             param_names=np.array(names))
     print(f"wrote {path} (arrays: chains x draws per free parameter)")
 
 
@@ -293,6 +304,15 @@ def main(argv=None):
     p_samp.add_argument("--warmup", type=int, default=500)
     p_samp.add_argument("--chains", type=int, default=2)
     p_samp.add_argument("--seed", type=int, default=0)
+    p_samp.add_argument("--n-leapfrog", type=int, default=24,
+                        help="leapfrog steps per HMC iteration")
+    p_samp.add_argument("--target-accept", type=float, default=0.8,
+                        help="dual-averaging acceptance target")
+    p_samp.add_argument("--init-step", type=float, default=0.05,
+                        help="initial leapfrog step size")
+    p_samp.add_argument("--jitter", type=float, default=0.2,
+                        help="uniform per-iteration step-size jitter "
+                        "fraction (trajectory-length randomization)")
 
     p_warm = sub.add_parser(
         "warmup", help="pre-compile the canonical program shapes "

@@ -37,10 +37,16 @@ powers, the obs normalizer) cancel in the moment match and are dropped.
 Pairs stream in (KS*JB, BLK) chunks with flash-style running-max rescaling
 of the (SW, SWM, SWV) accumulators.
 
-Scope: K = S**W and KS = K/S multiples of 8 (S=2: window >= 4; S=4:
-window >= 3), any D, per-peak LocErr supported (l2 streams per position
-like the positions themselves).  Drivers fall back to the XLA path
-otherwise.
+Scope: ANY state count (odd K included), any D, per-peak LocErr supported
+(l2 streams per position like the positions themselves).  Odd-K models
+(S=3: K = 3**W) are served without padded slots by keeping every
+dynamically-indexed axis OFF the sublanes: the suffix stash is a
+time-leading 4D scratch (T, D, K, BLK) indexed by untiled leading axis
+(Mosaic needs 8-aligned starts only for multi-row sublane slices), and the
+pair chunking walks state blocks in a STATIC S-loop (static odd-offset
+slices legalize; the dynamic chunk cursor only ever does single-row
+loads).  JB is the largest divisor of K/S <= 16, so chunks never straddle
+a state block.  Drivers fall back to the XLA path only on VMEM overflow.
 """
 from __future__ import annotations
 
@@ -59,6 +65,16 @@ _TINY = 1e-30
 _NEG = -1e30
 
 _SCRATCH_BUDGET = 40 * 1024 * 1024
+
+
+def pick_jb(KS: int) -> int:
+    """Largest pair-chunk height <= 16 that divides K/S (chunks must not
+    straddle a state block; 16 = two sublane tiles keeps the live set
+    small while amortizing the per-chunk row loads)."""
+    for j in range(min(16, KS), 0, -1):
+        if KS % j == 0:
+            return j
+    return 1
 
 
 def refine_block_cap(T: int, D: int, K: int, KS: int, JB: int) -> int:
@@ -170,10 +186,11 @@ def _kernel(xs_ref, l2_ref, len_ref, lp0f_ref, ltf_ref, lp0r_ref, ltr_ref,
     rlp_sc[:] = jnp.zeros((K, BLK), jnp.float32)
 
     def suffix_body(t, _):
-        for d in range(D):
-            sm_sc[d, pl.ds(t * K, K), :] = rm_sc[d]
-            ss2_sc[d, pl.ds(t * K, K), :] = rs2_sc[d]
-        slp_sc[pl.ds(t * K, K), :] = rlp_sc[:]
+        # time-leading stash: dynamic index rides the untiled leading axis,
+        # so odd K needs no 8-aligned sublane starts
+        sm_sc[pl.ds(t, 1)] = rm_sc[:][None]
+        ss2_sc[pl.ds(t, 1)] = rs2_sc[:][None]
+        slp_sc[pl.ds(t, 1)] = rlp_sc[:][None]
         t_row = T - 1 - t                          # flipped data row
         started = (t > T - lengths)[None, :]       # past this track's start
         scan_update(t_row, ltr_ref, started)
@@ -215,13 +232,14 @@ def _kernel(xs_ref, l2_ref, len_ref, lp0f_ref, ltf_ref, lp0r_ref, ltr_ref,
 
     def combine_interior(t):
         """Pairwise state-matched mixture at position t (>=1): prefix
-        register (live) x suffix register (stash row T-1-t) x obs.
+        register (live) x suffix register (stash slot T-1-t) x obs.
         Returns (sw, swm [D], swv [D]) centered at x."""
-        srow = (T - 1 - t) * K
+        suf_m = sm_sc[pl.ds(T - 1 - t, 1)][0]      # (D, K, BLK)
+        suf_s2 = ss2_sc[pl.ds(T - 1 - t, 1)][0]
         # per-side precomputes, written to scratch for chunked slicing
         b1 = rlp_sc[:]
         prod1 = jnp.ones((K, BLK), jnp.float32)
-        b2 = slp_sc[pl.ds(srow, K), :]
+        b2 = slp_sc[pl.ds(T - 1 - t, 1)][0]
         prod2 = jnp.ones((K, BLK), jnp.float32)
         for d in range(D):
             x = xs_ref[pl.ds(t * D + d, 1), :]
@@ -235,9 +253,9 @@ def _kernel(xs_ref, l2_ref, len_ref, lp0f_ref, ltf_ref, lp0r_ref, ltr_ref,
             prod1 *= v1
             pp1_sc[d] = p1 + px
             n1_sc[d] = n1
-            v2 = ss2_sc[d, pl.ds(srow, K), :]
+            v2 = suf_s2[d]
             p2 = 1.0 / v2
-            a2 = sm_sc[d, pl.ds(srow, K), :] - x
+            a2 = suf_m[d] - x
             n2 = a2 * p2
             b2 = b2 - 0.5 * a2 * n2
             prod2 *= v2
@@ -248,50 +266,57 @@ def _kernel(xs_ref, l2_ref, len_ref, lp0f_ref, ltf_ref, lp0r_ref, ltr_ref,
         b2_sc[:] = b2
         r2_sc[:] = jax.lax.rsqrt(prod2)
 
-        def chunk(c, carry):
-            mx, sw, swm, swv = carry
-            j0 = c * JB
-            s_blk = (j0 // KS) * KS               # state block start (8-mult)
-            p1t = [pltpu.repeat(pp1_sc[d, pl.ds(s_blk, KS), :], JB, axis=0)
-                   for d in range(D)]
-            n1t = [pltpu.repeat(n1_sc[d, pl.ds(s_blk, KS), :], JB, axis=0)
-                   for d in range(D)]
-            b1t = pltpu.repeat(b1_sc[pl.ds(s_blk, KS), :], JB, axis=0)
-            r1t = pltpu.repeat(r1_sc[pl.ds(s_blk, KS), :], JB, axis=0)
-            exp2 = lambda ref2d: _expand_rows(  # noqa: E731
-                lambda u: ref2d[pl.ds(j0 + u, 1), :], JB, KS, BLK)
-            exp3 = lambda ref3d, d: _expand_rows(  # noqa: E731
-                lambda u: ref3d[d, pl.ds(j0 + u, 1), :], JB, KS, BLK)
-            arg = b1t + exp2(b2_sc)
-            prodP = jnp.ones((KS * JB, BLK), jnp.float32)
-            mu_c = [None] * D
-            invP = [None] * D
-            for d in range(D):
-                P = p1t[d] + exp3(p2_sc, d)
-                N = n1t[d] + exp3(n2_sc, d)
-                iP = 1.0 / P
-                mu = N * iP
-                arg += 0.5 * N * mu
-                prodP *= P
-                mu_c[d] = mu
-                invP[d] = iP
-            mx_new = jnp.maximum(mx, jnp.max(arg, axis=0, keepdims=True))
-            scale = jnp.exp(mx - mx_new)
-            w = (jnp.exp(arg - mx_new) * jax.lax.rsqrt(prodP)
-                 * r1t * exp2(r2_sc))
-            sw = sw * scale + jnp.sum(w, axis=0, keepdims=True)
-            swm = [swm[d] * scale
-                   + jnp.sum(w * mu_c[d], axis=0, keepdims=True)
-                   for d in range(D)]
-            swv = [swv[d] * scale
-                   + jnp.sum(w * invP[d], axis=0, keepdims=True)
-                   for d in range(D)]
-            return mx_new, sw, swm, swv
-
         zero = jnp.zeros((1, BLK), jnp.float32)
-        init = (jnp.full((1, BLK), _NEG, jnp.float32), zero,
-                [zero] * D, [zero] * D)
-        _, sw, swm, swv = jax.lax.fori_loop(0, K // JB, chunk, init)
+        carry = (jnp.full((1, BLK), _NEG, jnp.float32), zero,
+                 [zero] * D, [zero] * D)
+        # STATIC state loop: the prefix state block [m*KS, (m+1)*KS) is a
+        # static (odd-offset-safe) slice hoisted out of the chunk scan,
+        # and the dynamic chunk cursor below only does single-row loads —
+        # the two moves that make odd K legal on Mosaic
+        for m in range(S):
+            p1t = [pltpu.repeat(pp1_sc[d, m * KS:(m + 1) * KS, :], JB,
+                                axis=0) for d in range(D)]
+            n1t = [pltpu.repeat(n1_sc[d, m * KS:(m + 1) * KS, :], JB,
+                                axis=0) for d in range(D)]
+            b1t = pltpu.repeat(b1_sc[m * KS:(m + 1) * KS, :], JB, axis=0)
+            r1t = pltpu.repeat(r1_sc[m * KS:(m + 1) * KS, :], JB, axis=0)
+
+            def chunk(c, carry, m=m, p1t=p1t, n1t=n1t, b1t=b1t, r1t=r1t):
+                mx, sw, swm, swv = carry
+                j0 = m * KS + c * JB
+                exp2 = lambda ref2d: _expand_rows(  # noqa: E731
+                    lambda u: ref2d[pl.ds(j0 + u, 1), :], JB, KS, BLK)
+                exp3 = lambda ref3d, d: _expand_rows(  # noqa: E731
+                    lambda u: ref3d[d, pl.ds(j0 + u, 1), :], JB, KS, BLK)
+                arg = b1t + exp2(b2_sc)
+                prodP = jnp.ones((KS * JB, BLK), jnp.float32)
+                mu_c = [None] * D
+                invP = [None] * D
+                for d in range(D):
+                    P = p1t[d] + exp3(p2_sc, d)
+                    N = n1t[d] + exp3(n2_sc, d)
+                    iP = 1.0 / P
+                    mu = N * iP
+                    arg += 0.5 * N * mu
+                    prodP *= P
+                    mu_c[d] = mu
+                    invP[d] = iP
+                mx_new = jnp.maximum(mx,
+                                     jnp.max(arg, axis=0, keepdims=True))
+                scale = jnp.exp(mx - mx_new)
+                w = (jnp.exp(arg - mx_new) * jax.lax.rsqrt(prodP)
+                     * r1t * exp2(r2_sc))
+                sw = sw * scale + jnp.sum(w, axis=0, keepdims=True)
+                swm = [swm[d] * scale
+                       + jnp.sum(w * mu_c[d], axis=0, keepdims=True)
+                       for d in range(D)]
+                swv = [swv[d] * scale
+                       + jnp.sum(w * invP[d], axis=0, keepdims=True)
+                       for d in range(D)]
+                return mx_new, sw, swm, swv
+
+            carry = jax.lax.fori_loop(0, KS // JB, chunk, carry)
+        _, sw, swm, swv = carry
         return sw, swm, swv
 
     def write_out(t, sw, swm, swv, valid):
@@ -306,11 +331,12 @@ def _kernel(xs_ref, l2_ref, len_ref, lp0f_ref, ltf_ref, lp0r_ref, ltr_ref,
     # ---- pass 2: prefix scan + combine ------------------------------------
     init_register(0, lp0f_ref, jnp.full((1, BLK), True))
 
-    # position 0: suffix-only product (stash row (T-1)*K)
-    srow0 = (T - 1) * K
+    # position 0: suffix-only product (stash slot T-1)
+    suf_m0 = sm_sc[pl.ds(T - 1, 1)][0]
+    suf_s20 = ss2_sc[pl.ds(T - 1, 1)][0]
     sw0, swm0, swv0 = end_product(
-        0, lambda d: sm_sc[d, pl.ds(srow0, K), :],
-        lambda d: ss2_sc[d, pl.ds(srow0, K), :], slp_sc[pl.ds(srow0, K), :])
+        0, lambda d: suf_m0[d], lambda d: suf_s20[d],
+        slp_sc[pl.ds(T - 1, 1)][0])
     write_out(0, sw0, swm0, swv0, (lengths > 0)[None, :])
 
     def prefix_body(t, _):
@@ -352,11 +378,7 @@ def refine_pallas(positions,
     W = window
     K = S ** W
     KS = K // S
-    JB = min(8, KS)
-    if K % 8 or KS % 8:
-        raise NotImplementedError(
-            f"refine kernel needs K={K} and K/S={KS} multiples of 8 — "
-            "use the XLA path")
+    JB = pick_jb(KS)
 
     f32 = jnp.float32
     lp0f, ltf, s2v = build_refine_tables(log_trans, sig2_states, W)
@@ -399,9 +421,9 @@ def refine_pallas(positions,
         scratch_shapes=[pltpu.VMEM((D, K, BLK), f32),      # live register
                         pltpu.VMEM((D, K, BLK), f32),
                         pltpu.VMEM((K, BLK), f32),
-                        pltpu.VMEM((D, T * K, BLK), f32),  # suffix stash
-                        pltpu.VMEM((D, T * K, BLK), f32),
-                        pltpu.VMEM((T * K, BLK), f32),
+                        pltpu.VMEM((T, D, K, BLK), f32),   # suffix stash
+                        pltpu.VMEM((T, D, K, BLK), f32),
+                        pltpu.VMEM((T, K, BLK), f32),
                         pltpu.VMEM((D, K, BLK), f32),      # precomputes
                         pltpu.VMEM((D, K, BLK), f32),
                         pltpu.VMEM((K, BLK), f32),

@@ -560,10 +560,21 @@ def do_gifs_from_params(all_tracks, params, dt, gif_pathnames="./tracks",
 def _pallas_eligible(S: int, window: int, T: int, D: int) -> bool:
     K = S ** window
     KS = K // S
-    if K % 8 or KS % 8:
-        return False
-    from extrack_tpu.ops.pallas_refine import refine_block_cap
-    return refine_block_cap(T, D, K, KS, min(8, KS)) >= 128
+    from extrack_tpu.ops.pallas_refine import pick_jb, refine_block_cap
+    return refine_block_cap(T, D, K, KS, pick_jb(KS)) >= 128
+
+
+def pallas_window(S: int, T: int = 16, D: int = 2,
+                  preferred: int = 7) -> int:
+    """Largest refinement window <= ``preferred`` whose VMEM-resident
+    kernel register fits (per state count; T is the planning track
+    length).  S=2 keeps the reference default 7; S=3 lands on 5, S=4 on
+    4 — the same step-down-the-window-per-state pattern the reference's
+    own fit defaults use (ExTrack_GUI.py:1203-1212)."""
+    for w in range(preferred, 1, -1):
+        if _pallas_eligible(S, w, T, D):
+            return w
+    return 2
 
 
 def position_refinement(all_tracks: Dict[str, np.ndarray],
@@ -622,6 +633,16 @@ def refine_batch(batch: tdata.TrackBatch, LocErr, ds, TrMat,
                       and jax.default_backend() == "tpu"
                       and _pallas_eligible(S, frame_len, batch.max_len,
                                            batch.nb_dims)))
+    if (compute_engine == "auto" and jax.default_backend() == "tpu"
+            and not use_pallas):
+        import warnings
+        best = pallas_window(S, batch.max_len, batch.nb_dims, frame_len)
+        warnings.warn(
+            f"position_refinement: register for frame_len={frame_len} at "
+            f"{S} states exceeds the kernel's VMEM budget; falling back "
+            f"to the O(K^2/S) XLA mixture path (slower). frame_len<="
+            f"{best} would run the VMEM-resident kernel.",
+            RuntimeWarning, stacklevel=2)
     if use_pallas:
         # the kernel streams lane blocks itself; one dispatch per 2^20
         # tracks keeps HBM intermediates bounded without sync churn

@@ -84,7 +84,7 @@ def _leapfrog(vg, z, p, inv_mass, eps, n_steps, data):
 
 
 def _hmc_chain(vg, z0, data, key, *, num_warmup, num_samples, n_leapfrog,
-               target_accept, init_step):
+               target_accept, init_step, jitter=0.2):
     """One chain, fully jitted.
 
     Warmup in two phases: (A) dual-averaging step-size adaptation at
@@ -92,6 +92,15 @@ def _hmc_chain(vg, z0, data, key, *, num_warmup, num_samples, n_leapfrog,
     half; (B) re-adaptation of the step size under the new diagonal
     mass (a step size tuned for one metric does not transfer to
     another).  Then the sampling scan with both frozen.
+
+    ``jitter`` randomizes the per-iteration step size by a uniform
+    factor in [1-jitter, 1+jitter], which jitters the TRAJECTORY LENGTH
+    eps*n_leapfrog — the standard fixed-compute-cost guard against
+    periodic-orbit resonance (a trajectory that nearly returns to its
+    start every iteration, stalling exploration).  Randomizing the step
+    count instead would either waste gradient evals on masked no-op
+    steps or break the fixed shapes jit needs; scaling eps is
+    equivalent for resonance and free.
     """
     dim = z0.shape[0]
     dtype = z0.dtype
@@ -100,7 +109,9 @@ def _hmc_chain(vg, z0, data, key, *, num_warmup, num_samples, n_leapfrog,
         return 0.5 * jnp.sum(p * p * inv_mass)
 
     def hmc_step(z, u, key, eps, inv_mass):
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
+        eps = eps * jax.random.uniform(
+            k3, dtype=dtype, minval=1.0 - jitter, maxval=1.0 + jitter)
         p = jax.random.normal(k1, (dim,), dtype) / jnp.sqrt(inv_mass)
         z_new, p_new, u_new, _ = _leapfrog(vg, z, p, inv_mass, eps,
                                            n_leapfrog, data)
@@ -212,6 +223,7 @@ def sample_posterior(all_tracks: Dict[str, np.ndarray],
                      n_leapfrog: int = 24,
                      target_accept: float = 0.8,
                      init_step: float = 0.05,
+                     jitter: float = 0.2,
                      seed: int = 0,
                      cell_dims=(0.5, None, None),
                      nb_substeps: int = 1,
@@ -233,6 +245,10 @@ def sample_posterior(all_tracks: Dict[str, np.ndarray],
     Returns a SampleResult with per-parameter samples in physical space,
     split-chain R-hat and effective sample sizes.
     """
+    if num_chains < 1:
+        raise ValueError(f"num_chains must be >= 1, got {num_chains}")
+    if not 0.0 <= jitter < 1.0:
+        raise ValueError(f"jitter must be in [0, 1), got {jitter}")
     if params is None:
         params = tparams.generate_params(nb_states=nb_states,
                                          nb_dims=2, LocErr_type=1)
@@ -261,7 +277,8 @@ def sample_posterior(all_tracks: Dict[str, np.ndarray],
         lambda z0, key, data: _hmc_chain(
             vg, z0, data, key, num_warmup=num_warmup,
             num_samples=num_samples, n_leapfrog=n_leapfrog,
-            target_accept=target_accept, init_step=init_step),
+            target_accept=target_accept, init_step=init_step,
+            jitter=jitter),
         in_axes=(0, 0, None)))
 
     z0 = jnp.asarray(spec.to_unconstrained(),

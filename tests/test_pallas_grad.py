@@ -212,6 +212,34 @@ def test_fuzz_grad_random_configs_len2_and_multiblock():
                                    err_msg="primal " + msg)
 
 
+def test_grad_kernel_under_vmap():
+    """jax.vmap over the custom-VJP kernel's value_and_grad — the batching
+    rule the vmapped-chains HMC sampler exercises on TPU (ADVICE r3: the
+    CPU-forced suite never batched the Pallas path).  vmap of a
+    pallas_call lifts to a leading grid dimension; parity vs per-element
+    application checks both the primal and pullback batching rules."""
+    rng = np.random.default_rng(42)
+    Ds = np.array([0.0, 0.1])
+    tr = np.array([[.9, .1], [.15, .85]])
+    xs, _ = _sim_tracks(rng, 6, 7, 2, Ds, tr, np.array([.4, .6]), 0.02, 0.02)
+    lengths = jnp.asarray(np.array([7, 5, 7, 3, 6, 7]))
+    isbl = jnp.asarray((np.array([7, 5, 7, 3, 6, 7]) < 7).astype(np.float32))
+    xs = jnp.asarray(xs, jnp.float32)
+
+    obj = _theta_objective(xs, lengths, isbl, True, 4, 1)
+    obj_ref = _theta_objective(xs, lengths, isbl, False, 4, 1)
+    thetas = jnp.asarray(
+        np.array([0.001, 0.1, 0.1, 0.15, 0.02, 0.1], np.float32)
+        * rng.uniform(0.8, 1.2, (3, 6)).astype(np.float32))
+
+    vs, gs = jax.vmap(jax.value_and_grad(obj))(thetas)
+    for c in range(3):
+        v_ref, g_ref = jax.value_and_grad(obj_ref)(thetas[c])
+        np.testing.assert_allclose(float(vs[c]), float(v_ref), rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(gs[c]), np.asarray(g_ref),
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_grad_kernel_three_states():
     """3-state parity (A=3, G=27: odd group sizes stress the backward's
     per-slot interleave/untile, which the 2-state cases never do)."""

@@ -69,13 +69,52 @@ def test_refine_kernel_blocks_and_padding():
     assert np.all(np.asarray(sig)[~valid] == 0.0)
 
 
-def test_refine_kernel_rejects_unaligned():
-    xs, lengths, log_trans, sig2 = _setup(5, n_tracks=8, T=6, S=3)
+@pytest.mark.parametrize("S,W", [(3, 3), (3, 4), (3, 5), (5, 2)])
+def test_refine_kernel_odd_states(S, W):
+    """Odd-K models (3-state: K = 3**W) run the VMEM kernel via the
+    time-leading stash + static state-block pair loop (verdict r3 #3);
+    parity vs the XLA mixture path."""
+    xs, lengths, log_trans, sig2 = _setup(5 + S + W, n_tracks=12, T=7, S=S)
     loc_err2 = jnp.asarray(0.02 ** 2)[None, None, None]
-    with pytest.raises(NotImplementedError):
-        pallas_refine.refine_pallas(
-            xs, lengths, loc_err2, log_trans, sig2, window=4,
-            interpret=True)
+    mu_ref, sig_ref = refine.refine_positions(
+        xs, lengths, loc_err2, log_trans, sig2, window=W)
+    mu, sig = pallas_refine.refine_pallas(
+        xs, lengths, loc_err2, log_trans, sig2, window=W, interpret=True)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sig), np.asarray(sig_ref),
+                               rtol=2e-3, atol=2e-5)
+
+
+def test_refine_fallback_warns(monkeypatch):
+    """When auto mode on TPU would drop to the XLA path, the driver warns
+    (predict/hist already did; verdict r3 #3)."""
+    import warnings
+
+    import jax as _jax
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(refine, "_pallas_eligible",
+                        lambda *a, **k: False)
+    rng = np.random.default_rng(1)
+    tracks = {"4": np.cumsum(rng.normal(0, 0.05, (3, 4, 2)), axis=1)}
+    ds = np.array([0.02, 0.1, 0.2])
+    tr = np.full((3, 3), 0.1)
+    np.fill_diagonal(tr, 0.8)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        refine.position_refinement(
+            tracks, 0.02, ds, np.array([1 / 3] * 3), tr, frame_len=4,
+            compute_engine="auto")
+    msgs = [str(w.message) for w in rec
+            if issubclass(w.category, RuntimeWarning)]
+    assert any("VMEM budget" in m for m in msgs), msgs
+
+
+def test_pallas_window_schedule():
+    assert refine.pallas_window(2) == 7
+    assert 4 <= refine.pallas_window(3) <= 6
+    assert refine.pallas_window(4) >= 3
 
 
 def test_position_refinement_forced_pallas_matches_xla():

@@ -197,6 +197,17 @@ def main():
                     "benchmark names; results merge into results.json")
     args = ap.parse_args()
     print(f"devices: {jax.devices()}", flush=True)
+    # record the disk-cache state so every wall_cold_s is interpretable:
+    # "cold" always means cold-PROCESS (first call in this process); whether
+    # it also paid remote compiles depends on the persistent cache, so the
+    # entry count before/after disambiguates cold-disk from warm-disk runs
+    # (three labels of record: warm / cold-process-warm-disk / cold-disk)
+    cache_dir = os.path.expanduser(
+        os.environ.get("EXTRACK_TPU_COMPILE_CACHE",
+                       "~/.cache/extrack_tpu_jax"))
+    count_cache = lambda: (len(os.listdir(cache_dir))  # noqa: E731
+                           if os.path.isdir(cache_dir) else 0)
+    cache_before = count_cache()
     # (name, untimed data preparation, timed benchmark) — simulation /
     # file reads happen OUTSIDE the timed region so cold/warm measure the
     # analysis itself.  bench_million deliberately keeps simulation inside
@@ -246,6 +257,14 @@ def main():
             print(f"FAILED {name}: {exc!r}")
             RESULTS[name] = {"error": repr(exc)}
             failures.append(name)
+        RESULTS["_meta"] = {
+            "backend": jax.default_backend(),
+            "n_devices": len(jax.devices()),
+            "cache_entries_before": cache_before,
+            "cache_entries_after": count_cache(),
+            "cold_means": ("cold-process-warm-disk if entries unchanged "
+                           "for a case's shapes; cold-disk otherwise"),
+            "quick": bool(args.quick)}
         dump()
     print(f"wrote {out}")
     if failures:

@@ -138,7 +138,7 @@ def model_selection(all_tracks, dt, state_range: Sequence[int] = (2, 3, 4),
     section 7.6e).  With ``warm_start`` each state count initializes by
     splitting the fastest state of the previous optimum.
     """
-    frame_lens = frame_lens or {2: 6, 3: 5, 4: 4, 5: 3}
+    frame_lens = frame_lens or {}
     n_points = sum(np.prod(np.asarray(all_tracks[k]).shape[:2])
                    for k in all_tracks)
     fits, logls, bic, aic = {}, {}, {}, {}
@@ -149,8 +149,8 @@ def model_selection(all_tracks, dt, state_range: Sequence[int] = (2, 3, 4),
             params = split_state_params(prev[1].params.valuesdict(), s - 1)
         res = tfit.param_fitting(
             all_tracks, dt, params=params, nb_states=s,
-            frame_len=frame_lens.get(s, 4), cell_dims=cell_dims,
-            verbose=verbose, **kw)
+            frame_len=frame_lens.get(s, tfit.default_window(s)),
+            cell_dims=cell_dims, verbose=verbose, **kw)
         prev = (s, res)
         k_free = len(res.params.free_names())
         fits[s] = res

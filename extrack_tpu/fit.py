@@ -53,13 +53,25 @@ class FitResult:
         return "\n".join(lines)
 
 
+def default_window(nb_states: int, nb_substeps: int = 1) -> int:
+    """Per-state-count fitting window: 6 / 5 / 4 / 3 for 2 / 3 / 4 / >=5
+    states — the reference's own step-down pattern (its tutorial fits use
+    frame_len=6, 5, 4 for 2, 3, 4 states; Tutorial_ExTrack.ipynb cells at
+    lines 807 and 1457, GUI default ExTrack_GUI.py:1212).  K = S**window
+    stays in the low hundreds, which keeps every state count inside the
+    Pallas kernels' VMEM envelope (2: K=64, 3: 243, 4: 256, 5: 125)."""
+    w = 6 if nb_states <= 2 else 5 if nb_states == 3 else \
+        4 if nb_states == 4 else 3
+    return max(w, nb_substeps + 1)
+
+
 def make_objective(batch,
                    spec: tparams.Parameters,
                    dt,
                    nb_states: int,
                    cell_dims=(1.0,),
                    nb_substeps: int = 1,
-                   window: int = 6,
+                   window: Optional[int] = None,
                    min_len: Optional[int] = None,
                    matrix_type: int = 1,
                    input_loc_err: bool = False,
@@ -77,6 +89,8 @@ def make_objective(batch,
     gradient on TPU (constant or per-track dt, unsharded); 'xla' /
     'pallas' force a path.
     """
+    if window is None:
+        window = default_window(nb_states, nb_substeps)
     batches = batch if isinstance(batch, (list, tuple)) else [batch]
     if min_len is None:
         lens = np.concatenate([tdata.host_lengths(b) for b in batches])
@@ -307,7 +321,7 @@ def fit(batch: tdata.TrackBatch,
         nb_states: int,
         cell_dims=(1.0,),
         nb_substeps: int = 1,
-        window: int = 6,
+        window: Optional[int] = None,
         min_len: Optional[int] = None,
         matrix_type: int = 1,
         input_loc_err: bool = False,
@@ -334,6 +348,8 @@ def fit(batch: tdata.TrackBatch,
         in unconstrained space) and keep the best optimum.  Multi-state
         likelihoods are multi-modal; the reference has no equivalent guard.
     """
+    if window is None:
+        window = default_window(nb_states, nb_substeps)
     if checkpoint_path and resume:
         from extrack_tpu.utils.observe import CheckpointManager
         state = CheckpointManager(checkpoint_path).load()
@@ -610,7 +626,7 @@ def param_fitting(all_tracks,
                   params: Optional[tparams.Parameters] = None,
                   nb_states: int = 2,
                   nb_substeps: int = 1,
-                  frame_len: int = 6,
+                  frame_len: Optional[int] = None,
                   verbose: int = 1,
                   workers: int = 1,
                   Matrix_type: int = 1,
@@ -631,7 +647,10 @@ def param_fitting(all_tracks,
     ``threshold`` and ``max_nb_states`` are accepted for API compatibility:
     data parallelism is the device mesh (not a fork pool), and the engine's
     fixed window (``frame_len``) replaces the CPU-era threshold pruning
-    (SURVEY.md section 7.3).
+    (SURVEY.md section 7.3).  ``frame_len`` defaults per state count
+    (``default_window``: 6/5/4/3 for 2/3/4/5+ states, the reference
+    tutorials' own step-down pattern), keeping every model inside the
+    Pallas kernels' VMEM envelope out of the box.
     """
     del workers, threshold, max_nb_states
     if params is None:

@@ -74,10 +74,11 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
 
     def prep(m, s2, lp, x, l2):
         """Gaussian look-ahead update: normalizer product, quadratic form,
-        posterior means and variance tails for every register slot."""
+        posterior means, variance tails, and total-variance inverses for
+        every register slot."""
         prod = jnp.ones(lp.shape, lp.dtype)
         quad = jnp.zeros(lp.shape, lp.dtype)
-        new_m, tail = [], []
+        new_m, tail, invs = [], [], []
         for d in range(D):
             tot = l2[d] + s2[d]
             rt = jax.lax.rsqrt(tot)
@@ -87,13 +88,14 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
             quad = quad + 0.5 * diff * diff * inv
             new_m.append((m[d] * l2[d] + x[d] * s2[d]) * inv)
             tail.append(l2[d] * s2[d] * inv)
-        return prod, quad, new_m, tail
+            invs.append(inv)
+        return prod, quad, new_m, tail, invs
 
     def close_l2(m, s2, lp, x, l2, t, lengths, isbl, endv):
         """2-frame tracks close here; longer tracks close one step early
         on the pre-fusion children (reference's skipped last-step
         fusion)."""
-        prod, quad, _, _ = prep(m, s2, lp, x, l2)
+        prod, quad, _, _, _ = prep(m, s2, lp, x, l2)
         lc = -0.5 * jnp.log(prod) - quad - cl2pi
         fin = lp + isbl * endv + lc
         mx = jax.lax.stop_gradient(jnp.max(fin, axis=0, keepdims=True))
@@ -107,7 +109,7 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
         """Look-ahead closing: per-child Gaussian normalizers enter as
         rsqrt factors on the exp side (one log for the whole
         look-ahead)."""
-        prod, quad, new_m, tail = prep(m, s2, lp, x, l2)
+        prod, quad, new_m, tail, _ = prep(m, s2, lp, x, l2)
         lc = -0.5 * jnp.log(prod) - quad - cl2pi
         gate = jnp.where(t + 1 >= min_len, 1.0, 0.0).astype(lp.dtype)
         base_n = lp + lc
@@ -139,15 +141,23 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
         return jnp.where((t == lengths - 2)[None, :],
                          mx_n + jnp.log(sum_n), 0.0)
 
-    def interior(m, s2, lp, x, l2, t, lengths, ltv, lsv, s2v, sig2_t=None):
+    def interior(m, s2, lp, x, l2, t, lengths, ltv, lsv, s2v, sig2_t=None,
+                 with_extras=False):
         """Fuse + update: per-step Gaussian normalizers ride as rsqrt
         factors into the fusion's exp-sum (their 2*pi constants are folded
         into ltv by the wrapper) — same log-free scheme as
         pallas_engine._kernel; shift by max(lp - quad) (exp args <= 0,
-        rsqrt factors bounded)."""
+        rsqrt factors bounded).
+
+        ``with_extras=True`` additionally returns the backward stash
+        (invtot (D,K,BLK), wn o-major-concat (K,BLK), ok (G,BLK)): the
+        quantities whose recompute would cost the backward walk its
+        transcendentals (rsqrt per d, A exps, the max tree, the sw
+        division) — the gradient kernel checkpoints them per step and
+        ``interior_bwd`` runs division- and exp-free."""
         if per_step:
             s2v = expand([sig2_t[p:p + 1] for p in range(P)], Q)
-        prod, quad, new_m, tail = prep(m, s2, lp, x, l2)
+        prod, quad, new_m, tail, invs = prep(m, s2, lp, x, l2)
         gate = jnp.where(t + 1 >= min_len, 1.0, 0.0).astype(lp.dtype)
 
         base3 = (lp - quad).reshape(G, A, -1)
@@ -162,29 +172,32 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
             sw = sw + w[o]
         inv_sw = 1.0 / jnp.maximum(sw, _TINY)
         lp_f = mxs + jnp.log(jnp.maximum(sw, _TINY))
+        wn = [w[o] * inv_sw for o in range(A)]
 
         keep = (t < lengths - 1)[None, :]
         m_out, s2_out = [], []
         for d in range(D):
             nm3 = new_m[d].reshape(G, A, -1)
             tl3 = tail[d].reshape(G, A, -1)
-            m_f = w[0] * nm3[:, 0]
-            t_f = w[0] * tl3[:, 0]
+            m_f = wn[0] * nm3[:, 0]
+            t_f = wn[0] * tl3[:, 0]
             for o in range(1, A):
-                m_f = m_f + w[o] * nm3[:, o]
-                t_f = t_f + w[o] * tl3[:, o]
-            m_f = m_f * inv_sw
-            t_f = t_f * inv_sw
+                m_f = m_f + wn[o] * nm3[:, o]
+                t_f = t_f + wn[o] * tl3[:, o]
             m_out.append(jnp.where(keep, _tile(m_f, A), m[d]))
             s2_out.append(jnp.where(keep,
                                     s2v + _tile(t_f, A),
                                     s2[d]))
         lp_new = _tile(lp_f, A) + ltv + gate * lsv
         lp_out = jnp.where(keep, lp_new, lp)
-        return (jnp.stack(m_out), jnp.stack(s2_out), lp_out)
+        carry = (jnp.stack(m_out), jnp.stack(s2_out), lp_out)
+        if not with_extras:
+            return carry
+        ok = jnp.where(sw >= _TINY, 1.0, 0.0).astype(lp.dtype)
+        return carry, (jnp.stack(invs), jnp.concatenate(wn, axis=0), ok)
 
     def interior_bwd(m, s2, lp, x, l2, t, lengths, ct_m, ct_s2, ct_lp,
-                     norm_ref=None):
+                     invtot, wn_cat, ok, norm_ref=None):
         """Hand-derived VJP of ``interior``: same cotangents jax.vjp
         produces, minus the mechanical primal replay (the output assembly
         and its masking never enter any derivative).  Returns
@@ -206,30 +219,31 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
         The max shift and the _TINY floor follow stop_gradient / max-VJP
         semantics (derivative 0 where sw underflows the floor).
 
+        The walk consumes the forward's per-step stash
+        (``invtot`` = 1/(l2+s2) per d, ``wn_cat`` = normalized fusion
+        weights in o-major concat order, ``ok`` = sw-above-floor mask):
+        every transcendental of the naive recompute — D rsqrts, A exps,
+        the max tree, the sw division — drops out, because w_o only ever
+        appears multiplied by inv_sw (= wn_o, stashed) or ok_inv
+        (= wn_o*ok), and ct_prod*prod folds to -ct_base/2.
+
         The displacement-variance table (s2v / the streamed sig2_t row)
         enters ``interior`` only additively (s2' = s2v + tile(t_f)), so
         its cotangent needs no table values: the constant-dt (K, 1)
         cotangent is the lane sum of the kept s2 cotangents, the
         per-step (P, BLK) one their per-pattern sublane fold."""
-        prod, quad, new_m, tail = prep(m, s2, lp, x, l2)
         gate = jnp.where(t + 1 >= min_len, 1.0, 0.0).astype(lp.dtype)
         keep = jnp.where((t < lengths - 1)[None, :], 1.0,
                          0.0).astype(lp.dtype)
         drop = 1.0 - keep
 
-        base3 = (lp - quad).reshape(G, A, -1)
-        rqK = jax.lax.rsqrt(prod)
-        rq3 = rqK.reshape(G, A, -1)
-        mxs = base3[:, 0]
-        for o in range(1, A):
-            mxs = jnp.maximum(mxs, base3[:, o])
-        w = [jnp.exp(base3[:, o] - mxs) * rq3[:, o] for o in range(A)]
-        sw = w[0]
-        for o in range(1, A):
-            sw = sw + w[o]
-        inv_sw = 1.0 / jnp.maximum(sw, _TINY)
-        ok_inv = jnp.where(sw >= _TINY, inv_sw, 0.0)
-        wn = [w[o] * inv_sw for o in range(A)]
+        # stash-fed recompute: invtot/wn/ok checkpointed by the forward
+        # make this walk free of rsqrt, exp, max trees and divisions —
+        # new_m/tail rebuild from invtot in a few multiplies
+        new_m = [(m[d] * l2[d] + x[d] * s2[d]) * invtot[d]
+                 for d in range(D)]
+        tail = [l2[d] * s2[d] * invtot[d] for d in range(D)]
+        wn = [wn_cat[o * G:(o + 1) * G] for o in range(A)]
 
         nm3 = [new_m[d].reshape(G, A, -1) for d in range(D)]
         tl3 = [tail[d].reshape(G, A, -1) for d in range(D)]
@@ -265,17 +279,21 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
         for d in range(1, D):
             sum_ct_s2 = sum_ct_s2 + ctk_s2[d]
 
-        # fusion chain: ct_w_o, then per-slot base/prod/nm/tl cotangents
-        fac = ct_lpf * ok_inv
+        # fusion chain, division-free: ct_base_o = ct_w_o * w_o with
+        # ct_w_o = ok_inv*[ct_lpf - sum(ct_mf m_f + ct_tf t_f)]
+        #        + inv_sw*sum(ct_mf nm_o + ct_tf tl_o)
+        # and w_o*inv_sw = wn_o (stashed), w_o*ok_inv = wn_o*ok — the sw
+        # factors cancel exactly, so neither sw nor inv_sw is needed
+        fac = ct_lpf * ok
         for d in range(D):
-            fac = fac - (ct_mf[d] * m_f[d] + ct_tf[d] * t_f[d]) * ok_inv
-        ct_w = []
+            fac = fac - (ct_mf[d] * m_f[d] + ct_tf[d] * t_f[d]) * ok
+        ct_bse = []
         for o in range(A):
             s = fac
             for d in range(D):
                 s = s + (ct_mf[d] * nm3[d][:, o]
-                         + ct_tf[d] * tl3[d][:, o]) * inv_sw
-            ct_w.append(s)
+                         + ct_tf[d] * tl3[d][:, o])
+            ct_bse.append(s * wn[o])
         # per-slot assembly (k = g*A + o, o minor): concat of (G, 1, BLK)
         # middle-unit inserts then merge — the same pattern autodiff's
         # transpose of base3[:, o] generates (a stack(axis=1) carries an
@@ -292,26 +310,24 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
             norm_ref[pl.ds(slot, 1)] = v[None]
             return norm_ref[pl.ds(slot, 1)][0]
 
-        ct_base_k = interleave([ct_w[o] * w[o] for o in range(A)], 0)
-        ct_prod_k = -0.5 * ct_base_k * (rqK * rqK)
-        ct_quad_k = -ct_base_k
+        ct_base_k = interleave(ct_bse, 0)
 
-        # prep backward per dimension
+        # prep backward per dimension.  ct_prod_k*prod folds exactly to
+        # -0.5*ct_base_k (ct_prod = -ct_base/(2 prod)), so neither prod
+        # nor its rsqrt is ever rebuilt; ct_quad_k = -ct_base_k likewise
+        # folds into the diff^2 term
         d_m, d_s2, d_l2 = [], [], []
         for d in range(D):
-            tot = l2[d] + s2[d]
-            rt = jax.lax.rsqrt(tot)
-            inv = rt * rt
+            inv = invtot[d]
             diff = x[d] - m[d]
             nm, tl = new_m[d], tail[d]
             ct_nm = interleave([ct_mf[d] * wn[o] for o in range(A)],
                                1 + 2 * d)
             ct_tl = interleave([ct_tf[d] * wn[o] for o in range(A)],
                                2 + 2 * d)
-            ct_tot = (ct_prod_k * prod
-                      - ct_quad_k * 0.5 * diff * diff * inv
+            ct_tot = (0.5 * ct_base_k * (diff * diff * inv - 1.0)
                       - ct_nm * nm - ct_tl * tl) * inv
-            d_m.append(-ct_quad_k * diff * inv + ct_nm * l2[d] * inv
+            d_m.append(ct_base_k * diff * inv + ct_nm * l2[d] * inv
                        + drop * ct_m[d])
             d_s2.append(ct_tot + ct_nm * x[d] * inv + ct_tl * l2[d] * inv
                         + drop * ct_s2[d])
@@ -335,7 +351,7 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
                  logl_ref, ct_l2_ref, ct_lp0_ref, ct_s20_ref, ct_ltv_ref,
                  ct_lsv_ref, ct_endv_ref, ct_s2v_ref, ct_ltn_ref,
                  ct_s2n_ref, ct_lsn_ref, ct_endn_ref, ct_s2s_ref,
-                 mh, s2h, lph, nrm,
+                 mh, s2h, lph, ivh, wnh, okh, nrm,
                  *, T, D, K, A, G, BLK, min_len, S=0, P=0, has_len2=True):
     lengths = len_ref[0, :].astype(jnp.int32)
     isbl = isbl_ref[0, :][None, :]
@@ -412,12 +428,20 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
         # the carry produced at the loop's final step is never read (it
         # would feed t = lmax - 1, which is fully masked and skipped):
         # gate the fuse+update away there — its pullback is gated the same
-        # way in the backward walk below
+        # way in the backward walk below.  The taken branch also
+        # checkpoints the backward stash (invtot/wn/ok) for this step;
+        # the skipped step's stash rows are never read.
+        def take(_):
+            carry, (ivt, wn_cat, ok) = interior(
+                m, s2, lp, x, l2, t, lengths, ltv, lsv, s2v, sig2_t,
+                with_extras=True)
+            ivh[pl.ds(t - 1, 1)] = ivt[None]
+            wnh[pl.ds(t - 1, 1)] = wn_cat[None]
+            okh[pl.ds(t - 1, 1)] = ok[None]
+            return carry
+
         m, s2, lp = jax.lax.cond(
-            t < lmax - 2,
-            lambda _: interior(m, s2, lp, x, l2, t, lengths, ltv, lsv,
-                               s2v, sig2_t),
-            lambda _: (m, s2, lp), None)
+            t < lmax - 2, take, lambda _: (m, s2, lp), None)
         return (m, s2, lp, acc)
 
     # dynamic trip count: the last useful step is the look-ahead closing at
@@ -456,6 +480,11 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
         l2 = read_td(l2_ref, t)
         sig2_t = read_sig2(t)
 
+        def pull_int_args():
+            return (c3[0], c3[1], c3[2], x, l2, t, lengths,
+                    ct_m, ct_s2, ct_lp, ivh[pl.ds(t - 1, 1)][0],
+                    wnh[pl.ds(t - 1, 1)][0], okh[pl.ds(t - 1, 1)][0])
+
         # the interior pullback at the walk's first step (t = tmax - 1)
         # replays against the all-zero seed cotangent ct0 — pure waste;
         # gated exactly like the forward's final fuse+update.  The
@@ -463,8 +492,7 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
         # primal replay; ~25% less work per step than the traced VJP).
         if per_step:
             def pull_int(_):
-                return interior_bwd(c3[0], c3[1], c3[2], x, l2, t,
-                                    lengths, ct_m, ct_s2, ct_lp, nrm)
+                return interior_bwd(*pull_int_args(), nrm)
 
             def zero_int(_):
                 return ((zDK, zDK, zKB), zD1, zKB, zKB, zKB,
@@ -474,8 +502,7 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
                 t < lmax - 2, pull_int, zero_int, None)
         else:
             def pull_int(_):
-                return interior_bwd(c3[0], c3[1], c3[2], x, l2, t,
-                                    lengths, ct_m, ct_s2, ct_lp, nrm)
+                return interior_bwd(*pull_int_args(), nrm)
 
             def zero_int(_):
                 return ((zDK, zDK, zKB), zD1, zKB, zKB, zKB)
@@ -664,6 +691,9 @@ def _grad_call(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
         scratch_shapes=[pltpu.VMEM((T - 1, D, K, BLK), jnp.float32),
                         pltpu.VMEM((T - 1, D, K, BLK), jnp.float32),
                         pltpu.VMEM((T - 1, K, BLK), jnp.float32),
+                        pltpu.VMEM((T - 1, D, K, BLK), jnp.float32),  # ivh
+                        pltpu.VMEM((T - 1, K, BLK), jnp.float32),     # wnh
+                        pltpu.VMEM((T - 1, K // A, BLK), jnp.float32),
                         pltpu.VMEM((1 + 2 * D, K, BLK), jnp.float32)],
         compiler_params=None if INTERPRET else pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT),
@@ -767,8 +797,12 @@ _SCRATCH_BUDGET = 28 * 1024 * 1024
 
 def supported_block(T: int, D: int, K: int, A: int = 2) -> int:
     """Largest lane-multiple block whose carry history + pullback live set
-    fits the VMEM budget (0 = unsupported; callers fall back to XLA)."""
-    history = (T - 1) * (2 * D + 1) * K * 4 + (1 + 2 * D) * K * 4
+    fits the VMEM budget (0 = unsupported; callers fall back to XLA).
+
+    History = (m, s2, lp) + the backward stash (invtot, wn, ok) per step
+    plus the interleave-normalization scratch."""
+    history = ((T - 1) * ((3 * D + 2) * K + K // A) * 4
+               + (1 + 2 * D) * K * 4)
     # per-lane pullback live set, calibrated on Mosaic's reported scoped
     # allocation (19.5MiB at K=81, A=9, D=2, BLK=256)
     live = (8 * A * D + 40) * K * 4

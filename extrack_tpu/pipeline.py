@@ -40,10 +40,10 @@ def analyze(tracks_or_path,
             dt: float,
             nb_states: int = 2,
             cell_dims=(1.0, None, None),
-            window: int = 6,
+            window: Optional[int] = None,
             nb_substeps: int = 1,
             hist_window: int = 7,
-            refine_frame_len: int = 7,
+            refine_frame_len: Optional[int] = None,
             lengths=tuple(range(3, 100)),
             max_buckets: int = 4,
             do_predict: bool = True,
@@ -85,6 +85,16 @@ def analyze(tracks_or_path,
     # convention
     min_len = tdata.default_min_len(
         np.array([int(k) for k in tracks if len(tracks[k]) > 0]))
+
+    if window is None:
+        # per-state-count schedule (fit.default_window); the predict stage
+        # below reuses the fitting window
+        window = tfit.default_window(nb_states, nb_substeps)
+    if refine_frame_len is None:
+        # largest refinement window whose VMEM kernel register fits
+        refine_frame_len = refine.pallas_window(
+            nb_states, max(tdata.host_lengths(b).max(initial=2)
+                           for b in batches))
 
     spec = params if params is not None else tparams.generate_params(
         nb_states=nb_states, estimated_LocErr=0.025, D_max=10.0,

@@ -227,7 +227,7 @@ def sample_posterior(all_tracks: Dict[str, np.ndarray],
                      seed: int = 0,
                      cell_dims=(0.5, None, None),
                      nb_substeps: int = 1,
-                     window: int = 6,
+                     window: Optional[int] = None,
                      min_len: Optional[int] = None,
                      matrix_type: int = 1,
                      input_LocErr=None,

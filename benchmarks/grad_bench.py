@@ -24,6 +24,12 @@ MIN_LEN = 3
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--block", type=int, default=None,
+                    help="lane block override for the grad kernel "
+                         "(capped per bucket by supported_block)")
+    args = ap.parse_args()
     from extrack_tpu import data as tdata, fit, params as tparams, simulate
 
     dtype = jnp.float32
@@ -42,7 +48,8 @@ def main():
     spec = tparams.generate_params(nb_states=2, LocErr_type=1, D_max=1.0,
                                    estimated_Ds=[0.001, 0.05])
     obj = fit.make_objective(batches, spec, 0.02, 2, cell_dims=(0.5,),
-                             window=W, min_len=MIN_LEN)
+                             window=W, min_len=MIN_LEN,
+                             pallas_block=args.block)
     data = jax.device_put(obj.batches)
     z0 = jnp.asarray(spec.to_unconstrained(), dtype)
 
@@ -74,6 +81,7 @@ def main():
         "fwd_compile_s": round(fwd_compile, 1),
         "vg_compile_s": round(vg_compile, 1),
         "uses_pallas": obj.uses_pallas,
+        "block": args.block,
         "backend": jax.default_backend(),
     }))
 

@@ -75,6 +75,7 @@ def make_objective(batch,
                    min_len: Optional[int] = None,
                    matrix_type: int = 1,
                    input_loc_err: bool = False,
+                   pallas_block: Optional[int] = None,
                    sharded: bool = False,
                    compute_engine: str = "auto") -> Callable:
     """Build -logL(z) over unconstrained free-parameter vector z.
@@ -154,7 +155,8 @@ def make_objective(batch,
                 total = total - pallas_grad.neg_log_likelihood(
                     b.positions, b.lengths, b.is_bleached, tb,
                     window=window, nb_substeps=nb_substeps,
-                    min_len=min_len, block=512, has_len2=has_len2)
+                    min_len=min_len, block=pallas_block or 512,
+                    has_len2=has_len2)
             else:
                 total = total + jnp.sum(engine.forward(
                     b.positions, b.lengths, b.is_bleached, tb,

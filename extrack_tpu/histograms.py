@@ -204,10 +204,23 @@ def segment_histogram(positions, lengths, is_bleached, tb: ModelTables,
     carry = (m, s2, lp, ll, newest, w_final)
     carry, (parents, states) = jax.lax.scan(jax.checkpoint(step), carry, xs)
     w_final = carry[-1]
+    return decode_backpointers(parents, states, w_final, lengths, pairs,
+                               S, M)
 
-    # reconstruct the surviving sequences by backtracking: after reverse
-    # step i (scan step t = i+1) the chain maps final slots to the register
-    # after step t-1; vals[i] is the state at frame i+2 of each final slot
+
+def decode_backpointers(parents, states, w_final, lengths, pairs, S, M):
+    """Backtrack (T-1, B, M) parent/state backpointers into explicit
+    sequences and decode their segments.  Shared by the XLA scan and the
+    Pallas top-K kernel (ops/pallas_topk.py), whose step outputs have
+    identical semantics.
+
+    After reverse step i (scan step t = i+1) the chain maps final slots
+    to the register after step t-1; vals[i] is the state at frame i+2 of
+    each final slot."""
+    Tm1, B, _ = parents.shape
+    T = Tm1 + 1
+    P = pairs.shape[0]
+
     def back(chain, ps):
         par_t, st_t = ps
         val = jnp.take_along_axis(st_t, chain, axis=1)
@@ -535,6 +548,13 @@ def _hist_from_values(values, positions, lengths, is_bleached, loc_err_in,
         return window_segment_histogram(positions, lengths, is_bleached,
                                         tb, window=window, min_len=min_len,
                                         nb_substeps=nb_substeps)
+    if engine == "topk_pallas":
+        from extrack_tpu.ops import pallas_topk
+        return pallas_topk.segment_topk_pallas(
+            positions, lengths, is_bleached, tb,
+            max_nb_states=max_nb_states, min_len=min_len,
+            nb_substeps=nb_substeps,
+            interpret=jax.default_backend() != "tpu")
     return segment_histogram(positions, lengths, is_bleached, tb,
                              max_nb_states=max_nb_states, min_len=min_len,
                              nb_substeps=nb_substeps)
@@ -674,6 +694,27 @@ def hist_batch(batch: tdata.TrackBatch,
     dt_arr = batch.dt if batch.dt is not None else jnp.asarray(dt)
     # round the top-k register up to a lane-friendly multiple of 128
     M = max(int(np.ceil(max_nb_states / 128)) * 128, 128)
+    if engine == "topk_pallas":
+        # OPT-IN experiment, not an auto-upgrade: the in-VMEM bitonic
+        # top-M kernel (ops/pallas_topk.py) measured 6.2k tracks/s vs
+        # the XLA scan's 18.2k at M=512/T=10 on TPU v5e — sublane
+        # compare-exchange shuffles run at ~6% of the VPU issue rate, so
+        # fine-grained sorting loses to XLA's fused sort even with the
+        # register VMEM-resident (see DEVIATIONS.md 3c and
+        # docs/performance.md; the TPU-native answer to pruning remains
+        # the window-DP engine).
+        from extrack_tpu.ops import pallas_topk
+        if not (batch.dt is None and np.ndim(dt) == 0
+                and pallas_topk.supports(batch.max_len, batch.nb_dims,
+                                         nb_states, M, nb_substeps)):
+            raise NotImplementedError(
+                "engine='topk_pallas' needs constant dt and a register "
+                "inside the VMEM budget")
+        # the backpointer outputs dominate memory: (T-1)*M*B*8 bytes
+        chunk = min(chunk, 32768)
+        if batch.batch_size > chunk:
+            batch = batch.pad_batch_to(
+                int(np.ceil(batch.batch_size / chunk)) * chunk)
     kw = dict(nb_states=nb_states, cell_dims=cell, matrix_type=matrix_type,
               engine=engine, window=window_sub, max_nb_states=M,
               min_len=min_len, nb_substeps=nb_substeps)

@@ -133,8 +133,11 @@ def _topk_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
     nw_sc[:M] = jnp.broadcast_to(nw0_ref[:], (M, BLK))
     wf_ref[:] = jnp.zeros((M, BLK), jnp.float32)
 
-    iota_m = jax.lax.broadcasted_iota(jnp.float32, (M, BLK), 0)
-    iota_n = jax.lax.broadcasted_iota(jnp.float32, (NS, BLK), 0)
+    # Mosaic's tpu.iota is integer-only: build i32 and cast
+    iota_m = jax.lax.broadcasted_iota(jnp.int32, (M, BLK), 0) \
+        .astype(jnp.float32)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (NS, BLK), 0) \
+        .astype(jnp.float32)
     c2pi = float(np.log(2 * np.pi))
 
     def body(t, _):
@@ -282,9 +285,7 @@ def segment_topk_pallas(positions, lengths, is_bleached, tb: ModelTables,
     lp0_col = jnp.pad(lp0.astype(f32), (0, M - P),
                       constant_values=_NEG)[:, None]
     sig2_row = tb.sig2.reshape(-1, tb.sig2.shape[-1])[0].astype(f32)
-    s20_col = jnp.pad(sig2_row[np.arange(P) % P][
-        jnp.asarray(np.arange(P))], (0, M - P),
-        constant_values=1.0)[:, None]
+    s20_col = jnp.pad(sig2_row, (0, M - P), constant_values=1.0)[:, None]
     nw0_col = jnp.pad(jnp.asarray(pairs[:, 0], f32), (0, M - P))[:, None]
 
     lt_tab = ttables.branch_log_trans(tb.log_trans, n).astype(f32)  # (A,S)

@@ -185,6 +185,14 @@ def make_objective(batch,
     neg_logl.batches = batches        # fit() passes these as arguments
     neg_logl.core = core              # dataset-free body for shared jits
     neg_logl.uses_pallas = any(pallas_batches)
+    # per-bucket facts + resolved defaults, consumed by the exact-HVP
+    # Fisher path (hessian_hvp_exact must rebuild the SAME per-bucket
+    # kernel configuration the objective ran)
+    neg_logl.pallas_batches = list(pallas_batches)
+    neg_logl.has_len2s = list(has_len2s)
+    neg_logl.resolved_window = window
+    neg_logl.resolved_min_len = min_len
+    neg_logl.is_sharded = sharded
     # Everything the closure BAKES into a trace (the track arrays ride as
     # arguments, so they are deliberately absent): two objectives with equal
     # signatures lower to identical programs, letting drivers reuse jitted
@@ -481,13 +489,27 @@ def fit(batch: tdata.TrackBatch,
     std_errors = None
     if compute_errors:
         if neg_logl.uses_pallas:
-            # second-order AD cannot compose through the Pallas custom-VJP
-            # backward kernel; but its GRADIENTS are exact, so central
-            # differences of them give the observed information to ~1e-4
-            # relative at 2 gradient dispatches per parameter — ~20x
-            # cheaper than jax.hessian of the XLA engine at 10^6 tracks
-            H = hessian_fd_from_gradients(
-                lambda z: vg2(z, data)[1], res.x)
+            # exact second order through the Pallas path: the dual-number
+            # HVP kernel (ops/pallas_hvp.py) differentiates the gradient
+            # kernel's table cotangents, so each Hessian column is ONE
+            # kernel dispatch (jax.jvp of the exact gradient).  Configs
+            # whose dual carry history exceeds the VMEM budget fall back
+            # to central differences of the exact gradients (~1e-4
+            # relative).
+            try:
+                H = hessian_hvp_exact(
+                    neg_logl.batches, spec, res.x, dt, nb_states,
+                    cell_dims=cell_dims, nb_substeps=nb_substeps,
+                    window=neg_logl.resolved_window,
+                    min_len=neg_logl.resolved_min_len,
+                    matrix_type=matrix_type,
+                    input_loc_err=input_loc_err,
+                    pallas_flags=neg_logl.pallas_batches,
+                    has_len2s=neg_logl.has_len2s,
+                    sharded=neg_logl.is_sharded)
+            except NotImplementedError:
+                H = hessian_fd_from_gradients(
+                    lambda z: vg2(z, data)[1], res.x)
         else:
             # XLA path admits exact second-order AD; logL is additive over
             # tracks, so the observed information accumulates over jitted
@@ -506,6 +528,69 @@ def fit(batch: tdata.TrackBatch,
                      success=bool(res.success), n_evals=n_evals[0],
                      message=str(res.message), history=history,
                      std_errors=std_errors, residual=float(res.fun))
+
+
+def hessian_hvp_exact(batches, spec: tparams.Parameters, z_opt, dt,
+                      nb_states: int, *, cell_dims=(1.0,), nb_substeps=1,
+                      window=6, min_len=3, matrix_type=1,
+                      input_loc_err=False, pallas_flags=None,
+                      has_len2s=None, sharded=False,
+                      block: int = 512) -> np.ndarray:
+    """Observed-information Hessian of -logL at z_opt, EXACT through the
+    Pallas kernels: column j = jax.jvp(grad_z, (z,), (e_j,)) runs the
+    dual-number HVP kernel (ops/pallas_hvp.py) — one dispatch per
+    parameter per bucket.  Buckets the gradient kernel did not cover run
+    ``hessian_chunked`` (exact XLA second order) instead.
+
+    Raises NotImplementedError when any Pallas bucket's dual carry
+    history exceeds the VMEM budget (fit() falls back to central
+    differences) or when the batches are sharded (the HVP kernel runs
+    unsharded only)."""
+    from extrack_tpu.ops import pallas_hvp
+    if sharded:
+        raise NotImplementedError("exact HVP path runs unsharded only")
+    if pallas_flags is None:
+        pallas_flags = [True] * len(batches)
+    if has_len2s is None:
+        has_len2s = [True] * len(batches)
+    z = jnp.asarray(z_opt, jnp.float32)
+    n = int(z.shape[0])
+    H = np.zeros((n, n))
+    eye = np.eye(n, dtype=np.float32)
+    for b, use_pallas, has_len2 in zip(batches, pallas_flags, has_len2s):
+        if not use_pallas:
+            H += hessian_chunked([b], spec, z_opt, dt, nb_states,
+                                 cell_dims=cell_dims,
+                                 nb_substeps=nb_substeps, window=window,
+                                 min_len=min_len, matrix_type=matrix_type,
+                                 input_loc_err=input_loc_err)
+            continue
+        if not pallas_hvp.supports(b.max_len, b.nb_dims, nb_states,
+                                   window, nb_substeps):
+            raise NotImplementedError(
+                "dual carry history exceeds the VMEM budget for "
+                f"T={b.max_len}")
+        dt_arr = b.dt if b.dt is not None else jnp.asarray(dt)
+        loc_err_input = b.loc_err if input_loc_err else None
+
+        def tables_fn(z_, _loc=loc_err_input, _dt=dt_arr):
+            values = spec.resolve(spec.from_unconstrained(z_))
+            Ds, Fs, rates, loc_err, pBL = tparams.extract_arrays(
+                values, nb_states, input_loc_err=_loc)
+            return tables.build_tables(Ds, loc_err, Fs, rates, pBL, _dt,
+                                       cell_dims=tuple(cell_dims),
+                                       nb_substeps=nb_substeps,
+                                       matrix_type=matrix_type)
+
+        grad_z = pallas_hvp.make_grad_z(
+            b.positions, b.lengths, b.is_bleached, tables_fn,
+            window=window, nb_substeps=nb_substeps, min_len=min_len,
+            block=block, has_len2=has_len2)
+        hvp = jax.jit(lambda z_, v, _g=grad_z: jax.jvp(_g, (z_,), (v,))[1])
+        for j in range(n):
+            H[:, j] += np.asarray(hvp(z, jnp.asarray(eye[j])),
+                                  dtype=np.float64)
+    return 0.5 * (H + H.T)
 
 
 def hessian_fd_from_gradients(grad_fn, z_opt,

@@ -836,6 +836,23 @@ def neg_log_likelihood(positions, lengths, is_bleached, tables: ModelTables,
     both passes; callers that know the dataset host-side (fit objectives
     check the cached np_lengths) set it so the common no-2-frame case pays
     one gated closing per step instead of two."""
+    static, xs, lengths_f, isbl, dargs = prepare_args(
+        positions, lengths, is_bleached, tables, window=window,
+        nb_substeps=nb_substeps, min_len=min_len, block=block,
+        has_len2=has_len2)
+    return _neg_logl(static, xs, dargs[0], lengths_f, isbl, *dargs[1:])
+
+
+def prepare_args(positions, lengths, is_bleached, tables: ModelTables,
+                 *, window: int = 6, nb_substeps: int = 1,
+                 min_len: int = 3, block: int = 512,
+                 has_len2: bool = True):
+    """Kernel-argument construction, split out so second-order callers
+    (ops/pallas_hvp.py) can differentiate the tables -> kernel-args map.
+
+    Returns (static, xs, lengths_f, isbl, dargs) with dargs the tuple of
+    DIFFERENTIABLE kernel inputs in backward-cotangent order:
+    (l2, lp0, s20, ltv, lsv, endv, s2v, ltn, s2n, lsn, endn, sig2s)."""
     B, T, D = positions.shape
     S = tables.nb_states
     W, n = window, nb_substeps
@@ -885,6 +902,5 @@ def neg_log_likelihood(positions, lengths, is_bleached, tables: ModelTables,
 
     static = (T, D, K, A, G, BLK, min_len,
               S if per_step else 0, P if per_step else 0, bool(has_len2))
-    return _neg_logl(static, xs, l2, lengths_f, isbl,
-                     lp0, sig2v, lt, lsurv, end, sig2v,
-                     ltn, s2n, lsn, endn, sig2s)
+    return static, xs, lengths_f, isbl, (
+        l2, lp0, sig2v, lt, lsurv, end, sig2v, ltn, s2n, lsn, endn, sig2s)

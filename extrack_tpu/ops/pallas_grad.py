@@ -36,9 +36,21 @@ from extrack_tpu.ops.pallas_engine import (VMEM_LIMIT, _sig2_stream,
 _TINY = 1e-30
 
 
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1,))
 def _tile(x, A):
-    """Differentiable tile along the sublane axis ([x; x; ...] A times)."""
-    return x if A == 1 else jnp.concatenate([x] * A, axis=0)
+    """Differentiable tile along the sublane axis ([x; x; ...] A times).
+
+    Lowers to ``pltpu.repeat`` (the same native tile pallas_engine uses —
+    a sublane-tile copy, cheaper than the generic concat) with a custom
+    JVP so the HVP kernel's jax.jvp over ``interior`` still composes
+    (repeat is linear: the tangent just tiles too)."""
+    return x if A == 1 else pltpu.repeat(x, A, axis=0)
+
+
+@_tile.defjvp
+def _tile_jvp(A, primals, tangents):
+    (x,), (xd,) = primals, tangents
+    return _tile(x, A), _tile(xd, A)
 
 # module-level switch for interpreter-mode testing on CPU
 INTERPRET = False
@@ -261,7 +273,12 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
         ctk_m = [keep * ct_m[d] for d in range(D)]
         ctk_s2 = [keep * ct_s2[d] for d in range(D)]
 
+        use_mxu = K % 8 == 0 and G % 8 == 0 and A > 1
+
         def untile(c):
+            # NOT worth the MXU (measured): the A-fold sublane-group add
+            # is cheap as-is; a usum @ c permutation dot regressed vg
+            # 11.6 -> 10.5M tracks/s (small-dot issue overhead).
             c3 = c.reshape(A, G, -1)
             s = c3[0]
             for a in range(1, A):
@@ -294,22 +311,40 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
                 s = s + (ct_mf[d] * nm3[d][:, o]
                          + ct_tf[d] * tl3[d][:, o])
             ct_bse.append(s * wn[o])
-        # per-slot assembly (k = g*A + o, o minor): concat of (G, 1, BLK)
-        # middle-unit inserts then merge — the same pattern autodiff's
-        # transpose of base3[:, o] generates (a stack(axis=1) carries an
-        # implicit-dim layout Mosaic refuses to relayout at the next add)
+        # per-slot assembly (k = g*A + o, o minor).  Two lowerings:
+        #
+        # * MXU permutation matmul (8-aligned K and G): out = Pm @ v with
+        #   v the o-major concat and Pm[g*A+o, o*G+g] = 1 — the sublane
+        #   interleave rides the otherwise-idle systolic array and the
+        #   result lands in a plain (K, BLK) layout, so no scratch
+        #   laundering round trip.  Exact: each output row selects ONE
+        #   input row (HIGHEST precision keeps the f32 mantissa through
+        #   the bf16 passes).
+        # * otherwise: concat of (G, 1, BLK) middle-unit inserts then
+        #   merge — the reshape-merged value carries an implicit-dim
+        #   layout Mosaic refuses to relayout at the downstream adds, so
+        #   it must be scratch-normalized (store first, use the fresh
+        #   read; dev-notes rule).
+        if use_mxu:
+            r = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+            c = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+            iperm = ((r % A) * G + r // A == c).astype(jnp.float32)
+
         def interleave(parts, slot):
+            if use_mxu:
+                v = jnp.concatenate(parts, axis=0)
+                return jax.lax.dot(iperm, v,
+                                   precision=jax.lax.Precision.HIGHEST)
             v = jnp.concatenate([p[:, None] for p in parts],
                                 axis=1).reshape(K, -1)
             if norm_ref is None:
                 return v
-            # scratch-normalize: the reshape-merged value carries an
-            # implicit-dim layout that Mosaic refuses to relayout at the
-            # downstream adds (dev-notes rule: store first, use the
-            # fresh read)
             norm_ref[pl.ds(slot, 1)] = v[None]
             return norm_ref[pl.ds(slot, 1)][0]
 
+        # (measured: batching the 1+2D dots into one wide lane-concat dot
+        # regressed 11.6 -> 11.1M tracks/s — the lane-concat copies cost
+        # more than the per-dot issue overhead they save)
         ct_base_k = interleave(ct_bse, 0)
 
         # prep backward per dimension.  ct_prod_k*prod folds exactly to
@@ -317,6 +352,7 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
         # nor its rsqrt is ever rebuilt; ct_quad_k = -ct_base_k likewise
         # folds into the diff^2 term
         d_m, d_s2, d_l2 = [], [], []
+        cb2 = 0.5 * ct_base_k
         for d in range(D):
             inv = invtot[d]
             diff = x[d] - m[d]
@@ -325,14 +361,16 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
                                1 + 2 * d)
             ct_tl = interleave([ct_tf[d] * wn[o] for o in range(A)],
                                2 + 2 * d)
-            ct_tot = (0.5 * ct_base_k * (diff * diff * inv - 1.0)
-                      - ct_nm * nm - ct_tl * tl) * inv
-            d_m.append(ct_base_k * diff * inv + ct_nm * l2[d] * inv
-                       + drop * ct_m[d])
-            d_s2.append(ct_tot + ct_nm * x[d] * inv + ct_tl * l2[d] * inv
+            # fold inv into the nm/tl cotangents ONCE: every downstream
+            # use (ct_tot, d_m, d_s2, d_l2) multiplies by inv otherwise
+            cn = ct_nm * inv
+            ctl = ct_tl * inv
+            e = diff * inv
+            ct_tot = cb2 * (diff * e - 1.0) * inv - cn * nm - ctl * tl
+            d_m.append(ct_base_k * e + cn * l2[d] + drop * ct_m[d])
+            d_s2.append(ct_tot + cn * x[d] + ctl * l2[d]
                         + drop * ct_s2[d])
-            d_l2.append(jnp.sum(ct_tot + ct_nm * m[d] * inv
-                                + ct_tl * s2[d] * inv,
+            d_l2.append(jnp.sum(ct_tot + cn * m[d] + ctl * s2[d],
                                 axis=0, keepdims=True))
         d_lp = ct_base_k + drop * ct_lp
         out = ((jnp.stack(d_m), jnp.stack(d_s2), d_lp), jnp.stack(d_l2),

@@ -153,6 +153,122 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
         return jnp.where((t == lengths - 2)[None, :],
                          mx_n + jnp.log(sum_n), 0.0)
 
+    def close_look_bwd(m, s2, lp, x, l2, x_n, l2_n, t, lengths, isbl,
+                       ltn, s2n, lsn, endn, sig2_t=None):
+        """Hand-derived VJP of ``close_look`` with upstream cotangent 1.
+
+        The traced ``jax.vjp`` replays the primal and then runs a
+        mechanically-transposed linear pass (~2x the primal's arith on
+        top); this recomputes the same primal pieces once and applies
+        the softmax-posterior rule directly: with
+        q_a = sel * exp(g_a - mx) * r_a / S (the per-child posterior
+        weight of the look-ahead mixture, sel the closing-lane mask),
+        every cotangent is a moment of q — ct_g = q, ct_(1/2 log prod_n)
+        = -q, pbar = sum_a q_a plays the role interior_bwd's ct_base
+        plays for the shared prep chain (lc enters every child
+        additively).  Transcendental bill identical to one primal
+        evaluation; returns exactly what jax.vjp(close_look)(ones)
+        returns, in pull_look's output order."""
+        prod, quad, new_m, tail, invs = prep(m, s2, lp, x, l2)
+        gate = jnp.where(t + 1 >= min_len, 1.0, 0.0).astype(lp.dtype)
+        base_n = (lp - quad) - 0.5 * jnp.log(prod) - cl2pi
+        gs, rs, invns, diffns, s2n_rows = [], [], [], [], []
+        mx_n = jnp.full((1, lp.shape[1]), -jnp.inf, lp.dtype)
+        for a in range(A):
+            if per_step:
+                s2n_a = expand([sig2_t[a * S + s:a * S + s + 1]
+                                for s in range(S)], QN)
+                s2n_rows.append(s2n_a)
+            prod_n = jnp.ones(lp.shape, lp.dtype)
+            quad_n = jnp.zeros(lp.shape, lp.dtype)
+            invn_a, diffn_a = [], []
+            for d in range(D):
+                totn = (s2n_a if per_step
+                        else s2n[:, a:a + 1]) + tail[d] + l2_n[d]
+                rn = jax.lax.rsqrt(totn)
+                invn = rn * rn
+                diffn = x_n[d] - new_m[d]
+                prod_n = prod_n * (2 * np.pi * totn)
+                quad_n = quad_n + 0.5 * diffn * diffn * invn
+                invn_a.append(invn)
+                diffn_a.append(diffn)
+            g = (base_n + ltn[:, a:a + 1] + gate * lsn[:, a:a + 1]
+                 + isbl * endn[:, a:a + 1] - quad_n)
+            gs.append(g)
+            rs.append(jax.lax.rsqrt(prod_n))
+            invns.append(invn_a)
+            diffns.append(diffn_a)
+            mx_n = jnp.maximum(mx_n, jnp.max(g, axis=0, keepdims=True))
+        es = [jnp.exp(g - mx_n) * r for g, r in zip(gs, rs)]
+        sum_n = jnp.zeros((1, lp.shape[1]), lp.dtype)
+        for e in es:
+            sum_n = sum_n + jnp.sum(e, axis=0, keepdims=True)
+        # S >= min_a r_a > 0 always (mx is the max, so one exp is 1)
+        rS = jax.lax.rsqrt(sum_n)
+        sel = jnp.where((t == lengths - 2)[None, :], rS * rS, 0.0)
+        qs = [e * sel for e in es]
+
+        pbar = qs[0]
+        for a in range(1, A):
+            pbar = pbar + qs[a]
+        d_ltn = jnp.concatenate(
+            [jnp.sum(q, axis=1, keepdims=True) for q in qs], axis=1)
+        d_lsn = gate * d_ltn
+        d_endn = jnp.concatenate(
+            [jnp.sum(isbl * q, axis=1, keepdims=True) for q in qs], axis=1)
+
+        # children -> (new_m, tail, l2_n, s2n/sig2) cotangents
+        ct_nm = [jnp.zeros(lp.shape, lp.dtype) for _ in range(D)]
+        ct_tl = [jnp.zeros(lp.shape, lp.dtype) for _ in range(D)]
+        ctn_sum = [None] * A            # sum_d ct_totn_{a,d}, per child
+        for a in range(A):
+            for d in range(D):
+                invn, diffn = invns[a][d], diffns[a][d]
+                dn = diffn * invn
+                ct_totn = (0.5 * qs[a]) * (diffn * dn - 1.0) * invn
+                ct_nm[d] = ct_nm[d] + qs[a] * dn
+                ct_tl[d] = ct_tl[d] + ct_totn
+                ctn_sum[a] = (ct_totn if ctn_sum[a] is None
+                              else ctn_sum[a] + ct_totn)
+        d_l2n = jnp.stack([jnp.sum(ct_tl[d], axis=0, keepdims=True)
+                           for d in range(D)])
+        # careful: ct_tl accumulated BOTH tail's and l2_n's cotangent above
+        # (totn = s2n + tail + l2_n is additive in both) — they are equal,
+        # so reuse; s2n's is the lane sum of the same per-child totals
+        if per_step:
+            d_s2n = jnp.zeros((K, A), lp.dtype)
+            rows = []
+            for p in range(P):
+                a, s = p // S, p % S
+                rows.append(jnp.sum(ctn_sum[a][s * QN:(s + 1) * QN],
+                                    axis=0, keepdims=True))
+            d_sg = jnp.concatenate(rows, axis=0)
+        else:
+            d_s2n = jnp.concatenate(
+                [jnp.sum(c, axis=1, keepdims=True) for c in ctn_sum],
+                axis=1)
+
+        # shared prep chain, exactly interior_bwd's rule with pbar as the
+        # effective base cotangent
+        d_m, d_s2, d_l2 = [], [], []
+        for d in range(D):
+            inv = invs[d]
+            diff = x[d] - m[d]
+            e = diff * inv
+            cn = ct_nm[d] * inv
+            ctl = ct_tl[d] * inv
+            ct_tot = (0.5 * pbar) * (diff * e - 1.0) * inv \
+                - cn * new_m[d] - ctl * tail[d]
+            d_m.append(pbar * e + cn * l2[d])
+            d_s2.append(ct_tot + cn * x[d] + ctl * l2[d])
+            d_l2.append(jnp.sum(ct_tot + cn * m[d] + ctl * s2[d],
+                                axis=0, keepdims=True))
+        out = ((jnp.stack(d_m), jnp.stack(d_s2), pbar), jnp.stack(d_l2),
+               d_l2n, d_ltn, d_s2n, d_lsn, d_endn)
+        if per_step:
+            return out + (d_sg,)
+        return out
+
     def interior(m, s2, lp, x, l2, t, lengths, ltv, lsv, s2v, sig2_t=None,
                  with_extras=False):
         """Fuse + update: per-step Gaussian normalizers ride as rsqrt
@@ -206,10 +322,18 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
         if not with_extras:
             return carry
         ok = jnp.where(sw >= _TINY, 1.0, 0.0).astype(lp.dtype)
-        return carry, (jnp.stack(invs), jnp.concatenate(wn, axis=0), ok)
+        extras = (jnp.stack(invs), jnp.concatenate(wn, axis=0), ok)
+        if with_extras == 2:
+            # "full" stash: new_m/tail are free here (prep computed them);
+            # checkpointing them saves the backward walk its 6K-per-dim
+            # rebuild (the walk is compute-bound — block sweep 256/512/640
+            # measured 11.01/11.02/10.04M, so the extra VMEM is cheap)
+            extras = extras + (jnp.stack(new_m), jnp.stack(tail))
+        return carry, extras
 
     def interior_bwd(m, s2, lp, x, l2, t, lengths, ct_m, ct_s2, ct_lp,
-                     invtot, wn_cat, ok, norm_ref=None):
+                     invtot, wn_cat, ok, norm_ref=None, nm_stash=None,
+                     tl_stash=None):
         """Hand-derived VJP of ``interior``: same cotangents jax.vjp
         produces, minus the mechanical primal replay (the output assembly
         and its masking never enter any derivative).  Returns
@@ -251,10 +375,16 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
 
         # stash-fed recompute: invtot/wn/ok checkpointed by the forward
         # make this walk free of rsqrt, exp, max trees and divisions —
-        # new_m/tail rebuild from invtot in a few multiplies
-        new_m = [(m[d] * l2[d] + x[d] * s2[d]) * invtot[d]
-                 for d in range(D)]
-        tail = [l2[d] * s2[d] * invtot[d] for d in range(D)]
+        # and with the full stash (grad kernel) new_m/tail arrive
+        # checkpointed too; the rebuild-from-invtot path remains for the
+        # HVP kernel, which stashes only the first-order triple
+        if nm_stash is None:
+            new_m = [(m[d] * l2[d] + x[d] * s2[d]) * invtot[d]
+                     for d in range(D)]
+            tail = [l2[d] * s2[d] * invtot[d] for d in range(D)]
+        else:
+            new_m = [nm_stash[d] for d in range(D)]
+            tail = [tl_stash[d] for d in range(D)]
         wn = [wn_cat[o * G:(o + 1) * G] for o in range(A)]
 
         nm3 = [new_m[d].reshape(G, A, -1) for d in range(D)]
@@ -380,7 +510,8 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
             return out + (jnp.zeros_like(ctk_lp), d_sg)
         return out + (sum_ct_s2,)
 
-    return prep, close_l2, close_look, interior, interior_bwd
+    return (prep, close_l2, close_look, interior, interior_bwd,
+            close_look_bwd)
 
 
 def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
@@ -389,13 +520,14 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
                  logl_ref, ct_l2_ref, ct_lp0_ref, ct_s20_ref, ct_ltv_ref,
                  ct_lsv_ref, ct_endv_ref, ct_s2v_ref, ct_ltn_ref,
                  ct_s2n_ref, ct_lsn_ref, ct_endn_ref, ct_s2s_ref,
-                 mh, s2h, lph, ivh, wnh, okh, nrm,
+                 mh, s2h, lph, ivh, wnh, okh, nmh, tlh, nrm,
                  *, T, D, K, A, G, BLK, min_len, S=0, P=0, has_len2=True):
     lengths = len_ref[0, :].astype(jnp.int32)
     isbl = isbl_ref[0, :][None, :]
     per_step = P > 0
     (prep, close_l2, close_look, interior,
-     interior_bwd) = _make_step(D, K, A, G, min_len, S=S, P=P)
+     interior_bwd, close_look_bwd) = _make_step(D, K, A, G, min_len,
+                                                S=S, P=P)
     ltv, lsv, endv, s2v = (ltv_ref[:], lsv_ref[:], endv_ref[:], s2v_ref[:])
     ltn, s2n, lsn, endn = (ltn_ref[:], s2n_ref[:], lsn_ref[:], endn_ref[:])
 
@@ -470,12 +602,14 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
         # checkpoints the backward stash (invtot/wn/ok) for this step;
         # the skipped step's stash rows are never read.
         def take(_):
-            carry, (ivt, wn_cat, ok) = interior(
+            carry, (ivt, wn_cat, ok, nm, tl) = interior(
                 m, s2, lp, x, l2, t, lengths, ltv, lsv, s2v, sig2_t,
-                with_extras=True)
+                with_extras=2)
             ivh[pl.ds(t - 1, 1)] = ivt[None]
             wnh[pl.ds(t - 1, 1)] = wn_cat[None]
             okh[pl.ds(t - 1, 1)] = ok[None]
+            nmh[pl.ds(t - 1, 1)] = nm[None]
+            tlh[pl.ds(t - 1, 1)] = tl[None]
             return carry
 
         m, s2, lp = jax.lax.cond(
@@ -521,7 +655,8 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
         def pull_int_args():
             return (c3[0], c3[1], c3[2], x, l2, t, lengths,
                     ct_m, ct_s2, ct_lp, ivh[pl.ds(t - 1, 1)][0],
-                    wnh[pl.ds(t - 1, 1)][0], okh[pl.ds(t - 1, 1)][0])
+                    wnh[pl.ds(t - 1, 1)][0], okh[pl.ds(t - 1, 1)][0],
+                    nrm, nmh[pl.ds(t - 1, 1)][0], tlh[pl.ds(t - 1, 1)][0])
 
         # the interior pullback at the walk's first step (t = tmax - 1)
         # replays against the all-zero seed cotangent ct0 — pure waste;
@@ -530,7 +665,7 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
         # primal replay; ~25% less work per step than the traced VJP).
         if per_step:
             def pull_int(_):
-                return interior_bwd(*pull_int_args(), nrm)
+                return interior_bwd(*pull_int_args())
 
             def zero_int(_):
                 return ((zDK, zDK, zKB), zD1, zKB, zKB, zKB,
@@ -540,7 +675,7 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
                 t < lmax - 2, pull_int, zero_int, None)
         else:
             def pull_int(_):
-                return interior_bwd(*pull_int_args(), nrm)
+                return interior_bwd(*pull_int_args())
 
             def zero_int(_):
                 return ((zDK, zDK, zKB), zD1, zKB, zKB, zKB)
@@ -567,15 +702,10 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
 
         if per_step:
             def pull_look(_):
-                def fL(c3_, l2_, l2n_, ltn_, s2n_, lsn_, endn_, sg_):
-                    return close_look(c3_[0], c3_[1], c3_[2], x, l2_,
+                return close_look_bwd(c3[0], c3[1], c3[2], x, l2,
                                       read_next(xs_ref, t),
-                                      l2n_, t, lengths, isbl, ltn_, s2n_,
-                                      lsn_, endn_, sg_)
-
-                _, pc = jax.vjp(fL, c3, l2, read_next(l2_ref, t), ltn,
-                                s2n, lsn, endn, sig2_t)
-                return pc(ones_acc)
+                                      read_next(l2_ref, t), t, lengths,
+                                      isbl, ltn, s2n, lsn, endn, sig2_t)
 
             def zero_look(_):
                 return ((zDK, zDK, zKB), zD1, zD1, zKA, zKA, zKA, zKA,
@@ -594,15 +724,10 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
                 ct_s2s_ref[pl.ds(tc * P + p, 1), :] += d_s2s[p:p + 1]
         else:
             def pull_look(_):
-                def fL(c3_, l2_, l2n_, ltn_, s2n_, lsn_, endn_):
-                    return close_look(c3_[0], c3_[1], c3_[2], x, l2_,
+                return close_look_bwd(c3[0], c3[1], c3[2], x, l2,
                                       read_next(xs_ref, t),
-                                      l2n_, t, lengths, isbl, ltn_, s2n_,
-                                      lsn_, endn_)
-
-                _, pc = jax.vjp(fL, c3, l2, read_next(l2_ref, t), ltn,
-                                s2n, lsn, endn)
-                return pc(ones_acc)
+                                      read_next(l2_ref, t), t, lengths,
+                                      isbl, ltn, s2n, lsn, endn)
 
             def zero_look(_):
                 return ((zDK, zDK, zKB), zD1, zD1, zKA, zKA, zKA, zKA)
@@ -732,6 +857,8 @@ def _grad_call(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
                         pltpu.VMEM((T - 1, D, K, BLK), jnp.float32),  # ivh
                         pltpu.VMEM((T - 1, K, BLK), jnp.float32),     # wnh
                         pltpu.VMEM((T - 1, K // A, BLK), jnp.float32),
+                        pltpu.VMEM((T - 1, D, K, BLK), jnp.float32),  # nmh
+                        pltpu.VMEM((T - 1, D, K, BLK), jnp.float32),  # tlh
                         pltpu.VMEM((1 + 2 * D, K, BLK), jnp.float32)],
         compiler_params=None if INTERPRET else pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT),
@@ -837,9 +964,9 @@ def supported_block(T: int, D: int, K: int, A: int = 2) -> int:
     """Largest lane-multiple block whose carry history + pullback live set
     fits the VMEM budget (0 = unsupported; callers fall back to XLA).
 
-    History = (m, s2, lp) + the backward stash (invtot, wn, ok) per step
-    plus the interleave-normalization scratch."""
-    history = ((T - 1) * ((3 * D + 2) * K + K // A) * 4
+    History = (m, s2, lp) + the backward stash (invtot, wn, ok, new_m,
+    tail) per step plus the interleave-normalization scratch."""
+    history = ((T - 1) * ((5 * D + 2) * K + K // A) * 4
                + (1 + 2 * D) * K * 4)
     # per-lane pullback live set, calibrated on Mosaic's reported scoped
     # allocation (19.5MiB at K=81, A=9, D=2, BLK=256)

@@ -85,7 +85,8 @@ def _hvp_kernel(xs_ref, len_ref, isbl_ref,
     isbl = isbl_ref[0, :][None, :]
     per_step = P > 0
     (prep, close_l2, close_look, interior,
-     interior_bwd) = _make_step(D, K, A, G, min_len, S=S, P=P)
+     interior_bwd, _close_look_bwd) = _make_step(D, K, A, G, min_len,
+                                                 S=S, P=P)
     ltv, lsv, endv, s2v = (ltv_ref[:], lsv_ref[:], endv_ref[:], s2v_ref[:])
     ltn, s2n, lsn, endn = (ltn_ref[:], s2n_ref[:], lsn_ref[:], endn_ref[:])
     ltvt, lsvt, endvt, s2vt = (ltvt_ref[:], lsvt_ref[:], endvt_ref[:],

@@ -264,6 +264,7 @@ def main():
             results[name] = {
                 "n_tracks_requested": n, "logL": round(res.logl, 2),
                 "success": bool(res.success),
+                "optimizer_message": str(res.message),
                 "wall_s": round(time.time() - t0, 2), "params": rows}
             worst = max(r["rel_err"] for r in rows.values())
             print(f"{name}: worst rel_err {worst:.3f} "

@@ -403,7 +403,16 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
         ctk_m = [keep * ct_m[d] for d in range(D)]
         ctk_s2 = [keep * ct_s2[d] for d in range(D)]
 
-        use_mxu = K % 8 == 0 and G % 8 == 0 and A > 1
+        # the MXU permutation interleave needs 8-aligned rows only for the
+        # DOT itself, so odd registers COULD ride it via padded one-hot
+        # tables (K8 = ceil(K/8)*8, dead rows, slice the result) — measured
+        # at 3-state K=243/BLK=128: 1.82M vs the scratch-laundering path's
+        # 1.96M tracks/s value_and_grad (the (248,248) HIGHEST-precision
+        # dot costs more than the 2*K*BLK laundering round trip it saves;
+        # at K=64 the small dot won +11%).  Gate: aligned K only.  G need
+        # not be aligned (the o-major concat is lane-parallel regardless).
+        use_mxu = K % 8 == 0 and A > 1
+        K8 = -(-K // 8) * 8
 
         def untile(c):
             # NOT worth the MXU (measured): the A-fold sublane-group add
@@ -456,15 +465,21 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
         #   it must be scratch-normalized (store first, use the fresh
         #   read; dev-notes rule).
         if use_mxu:
-            r = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
-            c = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
-            iperm = ((r % A) * G + r // A == c).astype(jnp.float32)
+            r = jax.lax.broadcasted_iota(jnp.int32, (K8, K8), 0)
+            c = jax.lax.broadcasted_iota(jnp.int32, (K8, K8), 1)
+            iperm = (((r % A) * G + r // A == c)
+                     & (r < K)).astype(jnp.float32)
 
         def interleave(parts, slot):
             if use_mxu:
                 v = jnp.concatenate(parts, axis=0)
-                return jax.lax.dot(iperm, v,
-                                   precision=jax.lax.Precision.HIGHEST)
+                if K8 != K:
+                    v = jnp.concatenate(
+                        [v, jnp.zeros((K8 - K, v.shape[1]), v.dtype)],
+                        axis=0)
+                out = jax.lax.dot(iperm, v,
+                                  precision=jax.lax.Precision.HIGHEST)
+                return out[:K] if K8 != K else out
             v = jnp.concatenate([p[:, None] for p in parts],
                                 axis=1).reshape(K, -1)
             if norm_ref is None:
@@ -957,7 +972,7 @@ _neg_logl.defvjp(_neg_logl_fwd, _neg_logl_bwd)
 # with the look-ahead branch count A = S^n.  Blocks are sized so both fit
 # the budget; VMEM_LIMIT is shared with pallas_engine (raised above
 # Mosaic's 16MiB default; v5e/v5p have 128MiB of physical VMEM per core).
-_SCRATCH_BUDGET = 28 * 1024 * 1024
+_SCRATCH_BUDGET = 52 * 1024 * 1024
 
 
 def supported_block(T: int, D: int, K: int, A: int = 2) -> int:

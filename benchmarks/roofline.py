@@ -273,6 +273,107 @@ def hbm_bytes_per_track(T, D, per_step_sig2=False, P=0, grad=False):
     return b
 
 
+def predict_ops(S, W, n, D, L, T):
+    """Per-track element-op counts of ops/pallas_predict._kernel (constant
+    dt).  The fori_loop runs t = 1..L-1; the history mixing fires on every
+    kept step (L-2 times), the look-ahead closing and the harvest once.
+    TPS = 8-padded (T+W)*S history rows."""
+    K, A = S ** W, S ** n
+    G = K // A
+    TPS = -(-((T + W) * S) // 8) * 8
+    t = _zero()
+    # prep (pallas_predict.py:106-117), per dim: 12 arith + 1 div on (K,)
+    _acc(t, times=(L - 1) * D * K, arith=12, div=1)
+    # lc: K log + 2K
+    _acc(t, times=(L - 1), arith=2 * K, log=K)
+    # fusion weights (:178-188): subs K, max (A-1)G, exp K, sw (A-1)G,
+    # inv_sw G div + G, lp_f G log + G, wn K
+    _acc(t, times=(L - 1),
+         arith=K + (A - 1) * G + (A - 1) * G + G + G + K, exp=K,
+         log=G, div=G)
+    # history mixing (:195-209): catv weighted sum (2A-1)*G*TPS; iota
+    # writes S*G*TPS sel; repeat K*TPS copy; keep-select K*TPS
+    _acc(t, times=(L - 2),
+         arith=(2 * A - 1) * G * TPS + S * G * TPS + 2 * K * TPS)
+    # register update (:237-251), per dim: 2(2A-1)G + 2 repeats/selects 4K
+    _acc(t, times=(L - 1) * D, arith=2 * (2 * A - 1) * G + 4 * K)
+    _acc(t, times=(L - 1), arith=3 * K)
+    # look-ahead closing, once (same as forward's)
+    _acc(t, arith=3 * K, log=K)
+    _acc(t, times=A, arith=D * 10 * K + 5 * K + K + 3 * K,
+         rsqrt=D * K, exp=K)
+    # harvest, once (:212-229): fin 2K, max K, exp K+K, pbar K div;
+    # history reduce 2*K*TPS; W*S row selects on TPS rows; the one-hot
+    # matmul rides the (idle) MXU — excluded from VPU slots
+    _acc(t, arith=4 * K + 2 * K * TPS + W * S * TPS, exp=K, div=K)
+    return t
+
+
+def hist_ops(S, W, n, D, L, T):
+    """Per-track element-op counts of ops/pallas_hist._kernel (constant
+    dt).  TP = 8-padded T bin rows, ST = S*TP; E = distinct oldest-run
+    lengths (= W-1 in the generic case)."""
+    K, A = S ** W, S ** n
+    G = K // A
+    TP = -(-T // 8) * 8
+    ST = S * TP
+    E = W - 1
+    t = _zero()
+    # prep + lc + fusion weights: same shapes as predict
+    _acc(t, times=(L - 1) * D * K, arith=12, div=1)
+    _acc(t, times=(L - 1), arith=2 * K, log=K)
+    _acc(t, times=(L - 1),
+         arith=K + 2 * (A - 1) * G + 2 * G + K, exp=K, log=G, div=G)
+    # run transport (:186-201): shifted concat K*TP copy; sel 4*K*TP
+    # (extok mul+add+mul + real_drop select); weighted sum (2A-1)*G*TP;
+    # repeat K*TP; keep-select K*TP
+    _acc(t, times=(L - 1),
+         arith=K * TP + 4 * K * TP + (2 * A - 1) * G * TP + 2 * K * TP)
+    # completed + hist transport (:203-216): cmp K*TP; eold scatter S*K*TP
+    # mul + K*ST select; hist add K*ST; weighted sum (2A-1)*G*ST; repeat
+    # K*ST; keep-select K*ST
+    _acc(t, times=(L - 1),
+         arith=K * TP + S * K * TP + 2 * K * ST
+         + (2 * A - 1) * G * ST + 2 * K * ST)
+    # register update
+    _acc(t, times=(L - 1) * D, arith=2 * (2 * A - 1) * G + 4 * K)
+    _acc(t, times=(L - 1), arith=3 * K)
+    # harvest, once (:129-165): fin/softmax ~5K + K exp + K div; boundary
+    # shifts E*(K*TP copy + K*TP mul/add); eold scatter S*K*TP + K*ST sel;
+    # total+seg 2*K*ST; posterior reduce 2*K*ST; ending select ST
+    _acc(t, arith=5 * K + E * 2 * K * TP + S * K * TP + K * ST
+         + 4 * K * ST + ST, exp=K, div=K)
+    return t
+
+
+def refine_ops(S, W, D, L):
+    """Per-track element-op counts of ops/pallas_refine._kernel.  Two
+    register scans (suffix + prefix, ~L steps each) plus, per interior
+    position, the pairwise state-matched mixture: S * (K/S)^2 pairs, each
+    ~(7D + 10) arith + D div + 1 exp + 1 rsqrt (pallas_refine.py:284-316),
+    plus per-side precomputes and the moment-match epilogue."""
+    K = S ** W
+    KS = K // S
+    t = _zero()
+    # two scans: prep 12 arith + 1 div per dim, fusion ~ forward's
+    _acc(t, times=2 * L * D * K, arith=12, div=1)
+    _acc(t, times=2 * L,
+         arith=2 * K + 2 * (S - 1) * KS + 2 * KS + K, exp=K, log=K + KS,
+         div=KS)
+    # per-position side precomputes (:240-267): per dim ~10 arith + 2 div
+    # on (K,); rsqrt 2K
+    _acc(t, times=(L - 2) * D * K, arith=10, div=2)
+    _acc(t, times=(L - 2), rsqrt=2 * K)
+    # pairwise mixture per interior position: S*KS^2 pairs
+    pairs = S * KS * KS
+    _acc(t, times=(L - 2) * pairs, arith=7 * D + 10, div=D)
+    _acc(t, times=(L - 2) * pairs, exp=1, rsqrt=1)
+    # end products (2 positions, :207-231): per dim 8 arith + 1 div on K
+    _acc(t, times=2 * D * K, arith=8, div=1)
+    _acc(t, times=2, arith=4 * K, exp=K, rsqrt=K)
+    return t
+
+
 # ---------------------------------------------------------------------------
 # 3. measured kernel rows
 # ---------------------------------------------------------------------------
@@ -355,6 +456,63 @@ def kernel_row(name, S, W, n, T, B, peaks, D=2):
     return {"name": name, "S": S, "W": W, "n": n, "T": T, "B": B, **rows}
 
 
+def postfit_row(name, kind, S, W, T, B, peaks, D=2):
+    """Measured throughput + sustained rate for the posterior ('predict'),
+    histogram ('hist'), or refinement ('refine') kernel at a uniform-length
+    single-bucket config."""
+    from extrack_tpu.core import tables as ttables
+    from extrack_tpu.ops import pallas_hist, pallas_predict, pallas_refine
+
+    xs, lengths, isbl = _uniform_batch(B, T, D)
+    rates = np.full((S, S), 0.1) - np.diag(np.full(S, 0.1))
+    Ds = np.linspace(0.0, 0.1, S)
+    Fs = np.full(S, 1.0 / S)
+    tb = ttables.build_tables(jnp.asarray(Ds), jnp.asarray(0.02),
+                              jnp.asarray(Fs), jnp.asarray(rates),
+                              jnp.asarray(0.05), 0.02, cell_dims=(0.5,),
+                              nb_substeps=1)
+    lt0 = tb.log_trans
+
+    if kind == "predict":
+        def body(s, eps):
+            logl, preds = pallas_predict.predict_pallas(
+                xs, lengths, isbl, tb._replace(log_trans=lt0 + eps),
+                window=W, min_len=3)
+            return s + jnp.sum(logl) + jnp.sum(preds[:, 0]), None
+        counts = predict_ops(S, W, 1, D, T, T)
+    elif kind == "hist":
+        def body(s, eps):
+            h = pallas_hist.hist_pallas(
+                xs, lengths, isbl, tb._replace(log_trans=lt0 + eps),
+                window=W, min_len=3)
+            return s + jnp.sum(h), None
+        counts = hist_ops(S, W, 1, D, T, T)
+    else:
+        sig2 = jnp.asarray(2 * Ds * 0.02, jnp.float32)
+        le2 = jnp.asarray(0.02 ** 2, jnp.float32)[None, None, None]
+
+        def body(s, eps):
+            mu, sig = pallas_refine.refine_pallas(
+                xs, lengths, le2, lt0 + eps, sig2, window=W)
+            return s + jnp.sum(mu[:, 0]) + jnp.sum(sig[:, 0]), None
+        counts = refine_ops(S, W, D, T)
+
+    fn = jax.jit(lambda es: jax.lax.scan(body, 0.0, es)[0])
+    e1 = jnp.zeros((1,), jnp.float32)
+    e5 = jnp.linspace(0.0, 1e-6, 5).astype(jnp.float32)
+    float(fn(e1)), float(fn(e5))
+    dt = 1.0 / rate_by_differencing(lambda: fn(e1), lambda: fn(e5), 1, 5)
+    slots = fma_equiv(counts, peaks)
+    tput = B / dt
+    sustained = slots * tput
+    return {"name": name, "kind": kind, "S": S, "W": W, "T": T, "B": B,
+            "tracks_per_s": round(tput, 1),
+            "ops_per_track": {k: round(v) for k, v in counts.items()},
+            "fma_equiv_slots_per_track": round(slots),
+            "sustained_gops_per_s": round(sustained / 1e9, 1),
+            "pct_of_fma_peak": round(100 * sustained / peaks["fma"], 1)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -386,6 +544,20 @@ def main():
         rows.append(kernel_row("2state_sub2_w6", 2, 6, 2, 10, B, peaks))
     out["kernels"] = rows
     for r in rows:
+        print(json.dumps(r), flush=True)
+
+    # post-fit kernels (VERDICT r4 #4): sustained rate vs the same peaks
+    Bp = 1 << (17 if args.quick else 18)
+    prows = [postfit_row("predict_2state_w5", "predict", 2, 5, 10, Bp,
+                         peaks),
+             postfit_row("hist_2state_w7", "hist", 2, 7, 10, Bp, peaks),
+             postfit_row("refine_2state_w7", "refine", 2, 7, 10,
+                         Bp // 4, peaks)]
+    if not args.quick:
+        prows.append(postfit_row("refine_3state_w5", "refine", 3, 5, 10,
+                                 Bp // 4, peaks))
+    out["postfit_kernels"] = prows
+    for r in prows:
         print(json.dumps(r), flush=True)
 
     path = os.path.join(_HERE, "roofline.json")

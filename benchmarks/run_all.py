@@ -251,19 +251,30 @@ def main():
     for name, prep, fn in cases:
         if wanted and not any(w in name for w in wanted):
             continue
+        case_before = count_cache()
         try:
             fn(prep())
         except Exception as exc:       # isolate: record, keep the rest
             print(f"FAILED {name}: {exc!r}")
             RESULTS[name] = {"error": repr(exc)}
             failures.append(name)
+        # per-CASE cache delta (ADVICE r4): a multi-case run can mix
+        # warm-disk and cold-disk cases; one global pair cannot attribute
+        # which wall_cold_s paid remote compiles
+        case_after = count_cache()
+        RESULTS[name]["cache_entries_before"] = case_before
+        RESULTS[name]["cache_entries_after"] = case_after
+        RESULTS[name]["cold_label"] = (
+            "cold-process-warm-disk" if case_after == case_before
+            else "cold-disk")
         RESULTS["_meta"] = {
             "backend": jax.default_backend(),
             "n_devices": len(jax.devices()),
             "cache_entries_before": cache_before,
             "cache_entries_after": count_cache(),
-            "cold_means": ("cold-process-warm-disk if entries unchanged "
-                           "for a case's shapes; cold-disk otherwise"),
+            "cold_means": ("per-case cache_entries_before/after label each "
+                           "wall_cold_s: cold-process-warm-disk if "
+                           "unchanged, cold-disk otherwise"),
             "quick": bool(args.quick)}
         dump()
     print(f"wrote {out}")

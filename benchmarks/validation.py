@@ -125,6 +125,38 @@ def scenario_4state(n, seed=8):
                  "p23": ps[(2, 3)], "p32": ps[(3, 2)], "pBL": 0.05}
 
 
+def scenario_5state(n, seed=9):
+    """5-state recovery at the scheduled window (fit.default_window(5) = 3,
+    K = 243): the reference tutorial calls a 5-state fit a day-scale job
+    and >6 impractical (Tutorial md cell 58, BASELINE.md); here it is one
+    more Pallas-path fit.  Diffusion coefficients are kept well-separated
+    (geometric ladder) and transitions sparse (nearest-neighbour chain) so
+    the 5 states stay identifiable at this track-length budget; with 19
+    free parameters the per-parameter information is thinner than the
+    4-state scenario's, so rate tolerances are looser."""
+    ps = {(0, 1): 0.07, (1, 0): 0.06, (1, 2): 0.07, (2, 1): 0.08,
+          (2, 3): 0.06, (3, 2): 0.08, (3, 4): 0.06, (4, 3): 0.09}
+    tm = _trmat(ps, 5)
+    tracks, _, _ = simulate.sim_fov(
+        nb_tracks=n, max_track_len=12, min_track_len=5, LocErr=0.02,
+        Ds=(0.0, 0.02, 0.1, 0.4, 1.2), TrMat=tm, dt=0.02, pBL=0.05,
+        cell_dims=(0.5, None, None), seed=seed)
+    spec = xp.generate_params(nb_states=5, estimated_LocErr=0.022,
+                              estimated_Ds=[1e-4, 0.015, 0.08, 0.3, 0.9],
+                              D_max=4.0, estimated_transition_rates=0.07)
+    res = fit.param_fitting(tracks, 0.02, params=spec, nb_states=5,
+                            cell_dims=(0.5,), compute_errors=True,
+                            verbose=0)
+    return res, {"LocErr": 0.02, "D1": 0.02, "D2": 0.1, "D3": 0.4,
+                 "D4": 1.2,
+                 "D1_minus_D0": 0.02, "D2_minus_D1": 0.08,
+                 "D3_minus_D2": 0.3, "D4_minus_D3": 0.8,
+                 "p01": ps[(0, 1)], "p10": ps[(1, 0)],
+                 "p12": ps[(1, 2)], "p21": ps[(2, 1)],
+                 "p23": ps[(2, 3)], "p32": ps[(3, 2)],
+                 "p34": ps[(3, 4)], "p43": ps[(4, 3)], "pBL": 0.05}
+
+
 def scenario_per_peak(n, seed=3):
     tm = _trmat({(0, 1): TRUE["p01"], (1, 0): TRUE["p10"]}, 2)
     tracks, _, sigmas = simulate.sim_fov(
@@ -231,6 +263,7 @@ SCENARIOS = [
     ("fit_matched_control", scenario_matched_control),
     ("fit_3state", scenario_3state),
     ("fit_4state", scenario_4state),
+    ("fit_5state", scenario_5state),
     ("fit_per_peak_locerr", scenario_per_peak),
     ("fit_steady_state", scenario_steady_state),
     ("fit_substeps2", scenario_substeps2),

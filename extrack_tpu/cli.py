@@ -55,8 +55,10 @@ def _add_io_args(p):
                    help="per-peak quality column mapped to LocErr=1/sqrt(q)")
     p.add_argument("--states", type=int, default=2)
     p.add_argument("--cell-dims", type=float, nargs="+", default=[1.0])
-    p.add_argument("--window", type=int, default=6,
-                   help="frame_len: exactly-resolved state history")
+    p.add_argument("--window", type=int, default=None,
+                   help="frame_len: exactly-resolved state history "
+                        "(default: per-state-count schedule — fit 6/5/4/3 "
+                        "for 2/3/4/5+ states, refine 7/5/4/3)")
     p.add_argument("--params", default=None,
                    help="JSON of fitted parameters (from the fit command)")
     p.add_argument("--sharded", action="store_true",
@@ -99,7 +101,9 @@ def cmd_predict(args):
     spec = _params_from(args, tracks, input_loc_err)
     preds = predict.predict_Bs(tracks, args.dt, spec,
                                cell_dims=tuple(args.cell_dims),
-                               nb_states=args.states, frame_len=args.window,
+                               nb_states=args.states,
+                               frame_len=(args.window if args.window
+                                          is not None else 5),
                                input_LocErr=input_loc_err,
                                sharded=args.sharded)
     out = args.output or "extrack_predictions.csv"
@@ -119,7 +123,8 @@ def cmd_hist(args):
     hist = histograms.len_hist(tracks, spec, args.dt,
                                cell_dims=tuple(args.cell_dims),
                                nb_states=args.states,
-                               window=args.window,
+                               window=(args.window if args.window
+                                       is not None else 7),
                                input_LocErr=input_loc_err,
                                sharded=args.sharded)
     out = args.output or "extrack_durations.csv"

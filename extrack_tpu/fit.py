@@ -507,7 +507,15 @@ def fit(batch: tdata.TrackBatch,
                     pallas_flags=neg_logl.pallas_batches,
                     has_len2s=neg_logl.has_len2s,
                     sharded=neg_logl.is_sharded)
-            except NotImplementedError:
+            except NotImplementedError as exc:
+                # same driver-level fallback contract predict/hist/refine
+                # use: degrade, but say so (VERDICT r4 #3)
+                import warnings
+                warnings.warn(
+                    "fit(compute_errors=True): exact HVP unavailable for "
+                    f"this configuration ({exc}); using central "
+                    "differences of the exact gradients (~1e-4 relative "
+                    "on the Hessian).", RuntimeWarning, stacklevel=2)
                 H = hessian_fd_from_gradients(
                     lambda z: vg2(z, data)[1], res.x)
         else:

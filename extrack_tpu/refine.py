@@ -24,7 +24,7 @@ fractions, refined_localization.py:93-96,218).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -577,12 +577,27 @@ def pallas_window(S: int, T: int = 16, D: int = 2,
     return 2
 
 
+def default_window(nb_states: int, T: int = 16, D: int = 2) -> int:
+    """Scheduled refinement window per state count: the largest window
+    <= the reference's default 7 whose Pallas register fits VMEM —
+    7 / 5 / 4 / 3 for 2 / 3 / 4 / 5 states.  Mirrors fit.default_window's
+    step-down pattern; ``position_refinement``/``refine_batch`` use it
+    when ``frame_len`` is not given.  Accuracy: the window sets how many
+    neighbouring frames inform each refined position — past ~5 frames
+    the extra prior information is negligible next to the localization
+    error (benchmarks/refine_window_accuracy.py quantifies the delta:
+    W=5 vs W=7 moves 3-state refined positions by ~1e-3 of the
+    localization error), while the register (and the kernel wall time)
+    grows S-fold per extra frame."""
+    return pallas_window(int(nb_states), T, D, preferred=7)
+
+
 def position_refinement(all_tracks: Dict[str, np.ndarray],
                         LocErr,
                         ds,
                         Fs,
                         TrMat,
-                        frame_len: int = 7,
+                        frame_len: Optional[int] = None,
                         threshold: float = 0.1,
                         max_nb_states: int = 1000,
                         compute_engine: str = "auto",
@@ -596,6 +611,11 @@ def position_refinement(all_tracks: Dict[str, np.ndarray],
     compatibility (the fixed window replaces threshold pruning).  Returns
     (mus, sigmas) dicts; sigmas follow the reference in reporting the
     first-dimension std per position.
+
+    ``frame_len`` defaults to the per-state-count schedule
+    (``default_window``: 7/5/4/3 for 2/3/4/5 states), so 3+-state
+    refinements run the VMEM-resident kernel out of the box instead of
+    the 2-state default 7 forcing the slow fallback regime.
 
     compute_engine: 'auto' uses the VMEM-resident Pallas refinement kernel
     on TPU (S**frame_len a multiple of 8; per-peak LocErr supported);
@@ -618,16 +638,20 @@ def position_refinement(all_tracks: Dict[str, np.ndarray],
 
 
 def refine_batch(batch: tdata.TrackBatch, LocErr, ds, TrMat,
-                 frame_len: int = 7, compute_engine: str = "auto",
+                 frame_len: Optional[int] = None,
+                 compute_engine: str = "auto",
                  sharded: bool = False):
     """TrackBatch-native refinement core: (mu (B,T,D), sigma (B,T,D),
     n_tracks).  ``LocErr`` may be a scalar/array, or anything dict-like to
     signal that ``batch.loc_err`` holds per-peak errors.  For pipelines
-    that avoid the length-keyed dict round-trips entirely."""
+    that avoid the length-keyed dict round-trips entirely.  ``frame_len``
+    defaults to the per-state-count ``default_window`` schedule."""
     from extrack_tpu import config as _config
     _config.ensure_cache_tuning()
     B0 = batch.batch_size
     S = np.asarray(TrMat).shape[0]
+    if frame_len is None:
+        frame_len = default_window(S, batch.max_len, batch.nb_dims)
     use_pallas = (compute_engine == "pallas"
                   or (compute_engine == "auto"
                       and jax.default_backend() == "tpu"

@@ -80,6 +80,23 @@ def test_three_state_exact_window():
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
 
 
+def test_five_state_exact_window():
+    # the reference tutorial calls ~5 states a day-scale job (Tutorial md
+    # cell 58); here the fixed register covers it like any other S —
+    # exact-window parity vs the enumeration oracle at K = 5^4 = 625
+    rng = np.random.default_rng(17)
+    Ds = np.array([0.0, 0.02, 0.08, 0.2, 0.5])
+    Fs = np.full(5, 0.2)
+    rates = np.full((5, 5), 0.06) - np.diag(np.full(5, 0.06))
+    tr = np.full((5, 5), 0.05) + np.diag(np.full(5, 0.75))
+    xs, _ = _sim_tracks(rng, 3, 4, 2, Ds, tr, Fs, 0.02, 0.02)
+    lengths = np.full(3, 4)
+    isbl = np.array([1, 0, 1])
+    got, want = _run_both(xs, lengths, isbl, Ds, Fs, rates, 0.02, 0.02,
+                          0.1, (1.0,), n=1, W=4, min_len=3)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
 def test_substeps_exact_window():
     rng = np.random.default_rng(5)
     Ds, Fs = np.array([0.0, 0.1]), np.array([0.5, 0.5])

@@ -80,6 +80,54 @@ def test_hvp_matches_xla_hessian(n, W):
     np.testing.assert_allclose(H, H.T, atol=2e-3 * scale)
 
 
+@pytest.mark.parametrize("S,W", [(3, 5), (4, 4)])
+def test_hvp_default_windows_multistate(S, W):
+    """Exact HVP at the DEFAULT fit windows for 3 and 4 states (K=243 /
+    256) — the configs where fit(compute_errors=True) used to silently
+    fall back to finite differences (VERDICT r4 #3).  supports() must say
+    yes and the dual kernel must match jax.hessian of the XLA engine."""
+    assert pallas_hvp.supports(7, 2, S, W)
+    rng = np.random.default_rng(60 + S)
+    Ds = np.linspace(0.0, 0.3, S)
+    tr = np.full((S, S), 0.1 / (S - 1)) + np.diag(np.full(S, 0.9 - 0.1
+                                                          / (S - 1)))
+    Fs = np.full(S, 1.0 / S)
+    xs, _ = _sim_tracks(rng, 4, 5, 2, Ds, tr, Fs, 0.02, 0.02)
+    lengths = np.array([5, 4, 5, 3])
+    isbl = (lengths < 5).astype(float)
+    xs = jnp.asarray(xs, jnp.float32)
+    lengths = jnp.asarray(lengths)
+    isbl = jnp.asarray(isbl, jnp.float32)
+    rates0 = jnp.asarray(np.full((S, S), 0.08)
+                         - np.diag(np.full(S, 0.08)), jnp.float32)
+    Fsj = jnp.asarray(Fs, jnp.float32)
+
+    def tables_fn(theta):
+        # theta = (rate scale, LocErr, pBL, D_1..D_{S-1})
+        Ds_ = jnp.concatenate([jnp.zeros(1, jnp.float32), theta[3:]])
+        return tables.build_tables(Ds_, theta[1], Fsj, rates0 * theta[0],
+                                   theta[2], jnp.asarray(0.02, jnp.float32),
+                                   cell_dims=(0.8,))
+
+    theta = jnp.asarray([1.0, 0.02, 0.06] + list(Ds[1:]), jnp.float32)
+
+    def xla_obj(th):
+        return -jnp.sum(engine.forward(xs, lengths, isbl, tables_fn(th),
+                                       window=W, min_len=3))
+
+    H_ref = np.asarray(jax.hessian(xla_obj)(theta.astype(jnp.float64)))
+    grad_z = pallas_hvp.make_grad_z(xs, lengths, isbl, tables_fn,
+                                    window=W, min_len=3)
+    p = theta.shape[0]
+    cols = []
+    for j in range(p):
+        e = jnp.zeros((p,), jnp.float32).at[j].set(1.0)
+        cols.append(np.asarray(jax.jvp(grad_z, (theta,), (e,))[1]))
+    H = np.stack(cols, axis=1)
+    scale = np.abs(H_ref).max()
+    np.testing.assert_allclose(H, H_ref, rtol=5e-3, atol=1e-3 * scale)
+
+
 def test_fit_hessian_hvp_exact_matches_xla():
     """fit's exact-HVP Fisher path == jax.hessian of the XLA objective
     at a common point (the round-3 FD path was only ~1e-4 relative)."""

@@ -281,3 +281,45 @@ def test_grad_kernel_three_states():
     np.testing.assert_allclose(float(v_pl), float(v_x), rtol=2e-5)
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_x),
                                rtol=3e-3, atol=3e-3)
+
+
+def test_grad_kernel_five_states():
+    """5-state parity at the scheduled window (W=3, K=125, A=5, G=25):
+    every register dimension is odd and 8-unaligned, the regime the
+    VERDICT r4 5-state demonstration exercises."""
+    rng = np.random.default_rng(11)
+    Ds = np.array([0.0, 0.02, 0.08, 0.2, 0.5])
+    tr = np.full((5, 5), 0.05) + np.diag(np.full(5, 0.75))
+    Fs = np.full(5, 0.2)
+    xs, _ = _sim_tracks(rng, 6, 5, 2, Ds, tr, Fs, 0.02, 0.02)
+    lengths = np.array([5, 4, 5, 3, 5, 2])
+    isbl = (lengths < 5).astype(float)
+    xs = jnp.asarray(xs, jnp.float32)
+    lengths = jnp.asarray(lengths)
+    isbl = jnp.asarray(isbl, jnp.float32)
+    rates0 = np.full((5, 5), 0.06) - np.diag(np.full(5, 0.06))
+
+    def obj(use_pallas):
+        def f(th):
+            # th = (scale on rates, LocErr, pBL) + Ds tail: enough moving
+            # parts to touch every table cotangent without a 25-param fit
+            Ds_ = jnp.concatenate([jnp.zeros(1, jnp.float32), th[3:7]])
+            rates = jnp.asarray(rates0, jnp.float32) * th[0]
+            tb = tables.build_tables(
+                Ds_, th[1], jnp.asarray(Fs, jnp.float32), rates, th[2],
+                jnp.asarray(0.02, jnp.float32), cell_dims=(0.8,))
+            if use_pallas:
+                return pallas_grad.neg_log_likelihood(
+                    xs, lengths, isbl, tb, window=3, min_len=2,
+                    has_len2=True)
+            return -jnp.sum(engine.forward(xs, lengths, isbl, tb,
+                                           window=3, min_len=2))
+        return f
+
+    theta = jnp.asarray([1.0, 0.02, 0.06, 0.02, 0.08, 0.2, 0.5],
+                        jnp.float32)
+    v_pl, g_pl = jax.value_and_grad(obj(True))(theta)
+    v_x, g_x = jax.value_and_grad(obj(False))(theta)
+    np.testing.assert_allclose(float(v_pl), float(v_x), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_x),
+                               rtol=3e-3, atol=3e-3)

@@ -366,9 +366,16 @@ def fit(batch: tdata.TrackBatch,
         if state is not None:
             spec = spec.copy()
             spec.set_values(state["values"])
+    # keyword args from here on: make_objective grew ``pallas_block``
+    # BEFORE ``sharded`` in round 4 and this (then-positional) call kept
+    # passing sharded into pallas_block and compute_engine ("auto",
+    # truthy!) into sharded — every fit() silently ran the shard_map path
+    # on a 1-device mesh and the exact-HVP Fisher path always fell back
+    # to finite differences (it refuses sharded objectives)
     neg_logl = make_objective(batch, spec, dt, nb_states, cell_dims,
                               nb_substeps, window, min_len, matrix_type,
-                              input_loc_err, sharded, compute_engine)
+                              input_loc_err, sharded=sharded,
+                              compute_engine=compute_engine)
     # track data rides as jit arguments — closed-over data gets baked into
     # the executable as constants (a 10^6-track fit's cached executable was
     # 215-860MB).  Host arrays go to the device ONCE here; already-sharded

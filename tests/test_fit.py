@@ -201,3 +201,33 @@ def test_objective_rejects_negative_derived_fraction():
     out = tracking.cum_Proba_Cs(spec, tracks, 0.02, (1.0,), None, 3, 1, 4,
                                 verbose=0)
     assert out == float("inf")
+
+
+def test_fit_passes_flags_to_objective_by_keyword(sim_dataset,
+                                                  monkeypatch):
+    """Regression: make_objective grew ``pallas_block`` BEFORE ``sharded``
+    (round 4) while fit() still passed (input_loc_err, sharded,
+    compute_engine) positionally — compute_engine="auto" (truthy!) landed
+    in ``sharded``, so every fit() ran the shard_map path on a 1-device
+    mesh and the exact-HVP Fisher path always refused (it requires
+    unsharded objectives)."""
+    tracks, _, _ = sim_dataset
+    batch = tdata.from_dict(tracks)
+    spec = xp.generate_params(nb_states=2, LocErr_type=1, D_max=1.0,
+                              estimated_Ds=[0.005, 0.05],
+                              estimated_transition_rates=0.08)
+    seen = {}
+    real = fit.make_objective
+
+    def spy(*args, **kwargs):
+        obj = real(*args, **kwargs)
+        seen["is_sharded"] = obj.is_sharded
+        seen["sig"] = obj.trace_signature
+        return obj
+
+    monkeypatch.setattr(fit, "make_objective", spy)
+    fit.fit(batch, spec, 0.02, 2, cell_dims=(0.5,), window=4, verbose=0,
+            max_iter=1)
+    assert seen["is_sharded"] is False
+    # trace signature records (sharded, mesh size): must say unsharded
+    assert seen["sig"][-5] is False and seen["sig"][-4] is None

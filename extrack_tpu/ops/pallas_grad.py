@@ -56,6 +56,76 @@ def _tile_jvp(A, primals, tangents):
 INTERPRET = False
 
 
+def storage_order(K: int, A: int):
+    """o-major storage permutation of the register dimension.
+
+    The engine's slot encoding keeps the n oldest sub-step digits MINOR
+    (slot k = g*A + o), so fusion groups are A interleaved consecutive
+    rows and the backward walk must assemble per-slot cotangents with
+    K-row stride-A interleaves — at odd K (3-state windows) those lower
+    to scratch-laundered sublane shuffles that dominate the walk
+    (benchmarks/grad3_probe.py).  The gradient/HVP kernels therefore
+    store every (K, BLK) register array PERMUTED, slot k at row
+    r = (k % A) * G + k // A, so that
+
+      * a fusion group's members sit at the SAME row g of the A
+        contiguous (G, BLK) blocks — the o-reduce is elementwise over
+        block slices, no strided gathers, and
+      * per-slot backward assemblies become plain concats of per-o
+        blocks; the only interleave left is the G-row one rebuilding the
+        fused-space cotangents from the untile's stride-subsampled parts.
+
+    Requires A | G (window >= 2*nb_substeps): the children of fused group
+    g then land at rows (g % A) * G + a * (G // A) + g // A, i.e. block
+    g % A carries repeat-tiled stride-A subsamples of the fused block.
+
+    Returns (to_storage, from_storage) index vectors:
+    ``table_storage = table[from_storage]`` and
+    ``ct_slot = ct_storage[to_storage]``.
+    """
+    G = K // A
+    r = np.arange(K)
+    from_storage = (r % G) * A + r // G
+    to_storage = np.argsort(from_storage)
+    return to_storage, from_storage
+
+
+def _class_runs(class_of_k, K, A):
+    """Run-length encoding over STORAGE rows of a per-slot class id:
+    tuple of (class_id, start_row, n_rows).  Classes contiguous in slot
+    order (digit prefixes: the dt pattern k // (K/P), the newest digit
+    k // (K/S)) stay contiguous runs within each storage block."""
+    G = K // A
+    r = np.arange(K)
+    c = np.asarray(class_of_k)[(r % G) * A + r // G]
+    runs, s = [], 0
+    for i in range(1, K + 1):
+        if i == K or c[i] != c[s]:
+            runs.append((int(c[s]), s, i - s))
+            s = i
+    return tuple(runs)
+
+
+def _rfold(x, runs, n_classes):
+    """(K, BLK) storage-order rows -> (n_classes, BLK) per-class sublane
+    sums, via the run list (each run is one contiguous slice reduce)."""
+    outs = [None] * n_classes
+    for cls, st, n in runs:
+        v = jnp.sum(x[st:st + n], axis=0, keepdims=True)
+        outs[cls] = v if outs[cls] is None else outs[cls] + v
+    return jnp.concatenate(outs, axis=0)
+
+
+def _rexpand(rows_fn, runs):
+    """Per-class (1, BLK) rows -> (K, BLK) storage-order table (the
+    storage-layout analog of pallas_engine._expand_rows)."""
+    parts = []
+    for cls, _, n in runs:
+        row = rows_fn(cls)
+        parts.append(jnp.broadcast_to(row, (n, row.shape[-1])))
+    return jnp.concatenate(parts, axis=0)
+
+
 def _make_step(D, K, A, G, min_len, S=0, P=0):
     """Per-frame update pieces shared by the in-kernel forward and backward.
 
@@ -74,13 +144,31 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
     many-result vector scf.if that Mosaic cannot legalize).
     """
     per_step = P > 0
-    Q = K // P if per_step else 0
-    QN = K // S if per_step else 0
+    if A > 1 and G % A:
+        raise NotImplementedError(
+            f"o-major storage layout needs A | G (window >= 2*nb_substeps)"
+            f"; got G={G}, A={A}")
+    GA = G // A if A > 1 else G
+    if per_step:
+        # storage-order run lists for the per-step dt tables: the dt
+        # pattern (n+1 newest digits, k // (K/P)) and the parent newest
+        # digit (k // (K/S)) are digit prefixes, so they stay contiguous
+        # runs within each storage block
+        pat_runs = _class_runs(np.arange(K) // (K // P), K, A)
+        new_runs = _class_runs(np.arange(K) // (K // S), K, A)
 
-    def expand(rows, reps):
+    def tile_storage(v):
+        """(G, BLK) fused values -> (K, BLK) children, storage order.
+
+        Child rows of block u are the A repeat-tiled copies of the
+        stride-A subsample v[h*A + u] (see storage_order): one
+        (G//A, A, BLK) reshape, A middle-axis slices, native repeats,
+        one concat — no K-row interleave anywhere."""
+        if A == 1:
+            return v
+        sub = v.reshape(GA, A, -1)
         return jnp.concatenate(
-            [jnp.broadcast_to(r, (reps, rows[0].shape[-1])) for r in rows],
-            axis=0)
+            [_tile(sub[:, u], A) for u in range(A)], axis=0)
 
     cl2pi = float(0.5 * D * np.log(2 * np.pi))
 
@@ -129,8 +217,9 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
         mx_n = jnp.full((1, lp.shape[1]), -jnp.inf, lp.dtype)
         for a in range(A):
             if per_step:
-                s2n_a = expand([sig2_t[a * S + s:a * S + s + 1]
-                                for s in range(S)], QN)
+                s2n_a = _rexpand(
+                    lambda s, a=a: sig2_t[a * S + s:a * S + s + 1],
+                    new_runs)
             prod_n = jnp.ones(lp.shape, lp.dtype)
             quad_n = jnp.zeros(lp.shape, lp.dtype)
             for d in range(D):
@@ -176,8 +265,9 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
         mx_n = jnp.full((1, lp.shape[1]), -jnp.inf, lp.dtype)
         for a in range(A):
             if per_step:
-                s2n_a = expand([sig2_t[a * S + s:a * S + s + 1]
-                                for s in range(S)], QN)
+                s2n_a = _rexpand(
+                    lambda s, a=a: sig2_t[a * S + s:a * S + s + 1],
+                    new_runs)
                 s2n_rows.append(s2n_a)
             prod_n = jnp.ones(lp.shape, lp.dtype)
             quad_n = jnp.zeros(lp.shape, lp.dtype)
@@ -237,12 +327,10 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
         # so reuse; s2n's is the lane sum of the same per-child totals
         if per_step:
             d_s2n = jnp.zeros((K, A), lp.dtype)
-            rows = []
-            for p in range(P):
-                a, s = p // S, p % S
-                rows.append(jnp.sum(ctn_sum[a][s * QN:(s + 1) * QN],
-                                    axis=0, keepdims=True))
-            d_sg = jnp.concatenate(rows, axis=0)
+            # per-(pattern a, parent newest s) fold over storage runs
+            folds = [_rfold(ctn_sum[a], new_runs, S) for a in range(A)]
+            d_sg = jnp.concatenate(
+                [folds[p // S][p % S:p % S + 1] for p in range(P)], axis=0)
         else:
             d_s2n = jnp.concatenate(
                 [jnp.sum(c, axis=1, keepdims=True) for c in ctn_sum],
@@ -284,17 +372,23 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
         division) — the gradient kernel checkpoints them per step and
         ``interior_bwd`` runs division- and exp-free."""
         if per_step:
-            s2v = expand([sig2_t[p:p + 1] for p in range(P)], Q)
+            s2v = _rexpand(lambda p: sig2_t[p:p + 1], pat_runs)
         prod, quad, new_m, tail, invs = prep(m, s2, lp, x, l2)
         gate = jnp.where(t + 1 >= min_len, 1.0, 0.0).astype(lp.dtype)
 
-        base3 = (lp - quad).reshape(G, A, -1)
-        rq3 = jax.lax.rsqrt(prod).reshape(G, A, -1)
-        mxs = base3[:, 0]
+        # o-major storage: a fusion group's members sit at the same row
+        # of the A contiguous (G, BLK) blocks, so the o-reduce is
+        # elementwise over block slices — no (G, A, BLK) reshape, no
+        # stride-A sublane gathers (storage_order docstring)
+        base = lp - quad
+        rq = jax.lax.rsqrt(prod)
+        bparts = [base[o * G:(o + 1) * G] for o in range(A)]
+        rparts = [rq[o * G:(o + 1) * G] for o in range(A)]
+        mxs = bparts[0]
         for o in range(1, A):
-            mxs = jnp.maximum(mxs, base3[:, o])
+            mxs = jnp.maximum(mxs, bparts[o])
         mxs = jax.lax.stop_gradient(mxs)
-        w = [jnp.exp(base3[:, o] - mxs) * rq3[:, o] for o in range(A)]
+        w = [jnp.exp(bparts[o] - mxs) * rparts[o] for o in range(A)]
         sw = w[0]
         for o in range(1, A):
             sw = sw + w[o]
@@ -305,18 +399,18 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
         keep = (t < lengths - 1)[None, :]
         m_out, s2_out = [], []
         for d in range(D):
-            nm3 = new_m[d].reshape(G, A, -1)
-            tl3 = tail[d].reshape(G, A, -1)
-            m_f = wn[0] * nm3[:, 0]
-            t_f = wn[0] * tl3[:, 0]
+            nmp = [new_m[d][o * G:(o + 1) * G] for o in range(A)]
+            tlp = [tail[d][o * G:(o + 1) * G] for o in range(A)]
+            m_f = wn[0] * nmp[0]
+            t_f = wn[0] * tlp[0]
             for o in range(1, A):
-                m_f = m_f + wn[o] * nm3[:, o]
-                t_f = t_f + wn[o] * tl3[:, o]
-            m_out.append(jnp.where(keep, _tile(m_f, A), m[d]))
+                m_f = m_f + wn[o] * nmp[o]
+                t_f = t_f + wn[o] * tlp[o]
+            m_out.append(jnp.where(keep, tile_storage(m_f), m[d]))
             s2_out.append(jnp.where(keep,
-                                    s2v + _tile(t_f, A),
+                                    s2v + tile_storage(t_f),
                                     s2[d]))
-        lp_new = _tile(lp_f, A) + ltv + gate * lsv
+        lp_new = tile_storage(lp_f) + ltv + gate * lsv
         lp_out = jnp.where(keep, lp_new, lp)
         carry = (jnp.stack(m_out), jnp.stack(s2_out), lp_out)
         if not with_extras:
@@ -385,48 +479,60 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
         else:
             new_m = [nm_stash[d] for d in range(D)]
             tail = [tl_stash[d] for d in range(D)]
+        # o-major storage: every per-o quantity is a contiguous (G, BLK)
+        # block slice (storage_order docstring) — the walk has no
+        # (G, A, ·) reshapes, no stride-A gathers, and no K-row
+        # interleave scatters
         wn = [wn_cat[o * G:(o + 1) * G] for o in range(A)]
-
-        nm3 = [new_m[d].reshape(G, A, -1) for d in range(D)]
-        tl3 = [tail[d].reshape(G, A, -1) for d in range(D)]
+        nmo = [[new_m[d][o * G:(o + 1) * G] for o in range(A)]
+               for d in range(D)]
+        tlo = [[tail[d][o * G:(o + 1) * G] for o in range(A)]
+               for d in range(D)]
         m_f, t_f = [None] * D, [None] * D
         for d in range(D):
-            mf = wn[0] * nm3[d][:, 0]
-            tf = wn[0] * tl3[d][:, 0]
+            mf = wn[0] * nmo[d][0]
+            tf = wn[0] * tlo[d][0]
             for o in range(1, A):
-                mf = mf + wn[o] * nm3[d][:, o]
-                tf = tf + wn[o] * tl3[d][:, o]
+                mf = mf + wn[o] * nmo[d][o]
+                tf = tf + wn[o] * tlo[d][o]
             m_f[d], t_f[d] = mf, tf
 
-        # untile the kept upstream cotangents: child rows a*G+g -> group g
         ctk_lp = keep * ct_lp
         ctk_m = [keep * ct_m[d] for d in range(D)]
         ctk_s2 = [keep * ct_s2[d] for d in range(D)]
 
-        # the MXU permutation interleave needs 8-aligned rows only for the
-        # DOT itself, so odd registers COULD ride it via padded one-hot
-        # tables (K8 = ceil(K/8)*8, dead rows, slice the result) — measured
-        # at 3-state K=243/BLK=128: 1.82M vs the scratch-laundering path's
-        # 1.96M tracks/s value_and_grad (the (248,248) HIGHEST-precision
-        # dot costs more than the 2*K*BLK laundering round trip it saves;
-        # at K=64 the small dot won +11%).  Gate: aligned K only.  G need
-        # not be aligned (the o-major concat is lane-parallel regardless).
-        use_mxu = K % 8 == 0 and A > 1
-        K8 = -(-K // 8) * 8
-
+        # untile (transpose of tile_storage): ct w.r.t. the fused value
+        # v[g] = sum over children a of ct[(g % A)*G + a*GA + g // A] —
+        # per block u, sum the A contiguous (GA, BLK) chunks, leaving the
+        # fused-space cotangent stride-A SUBSAMPLED by u = g % A; the
+        # G-row interleave below is the only interleave left in the walk
+        # (A x (GA, BLK) -> (G, BLK), scratch-laundered: the
+        # reshape-merged value carries an implicit-dim layout Mosaic
+        # refuses to relayout downstream — dev-notes rule)
         def untile(c):
-            # NOT worth the MXU (measured): the A-fold sublane-group add
-            # is cheap as-is; a usum @ c permutation dot regressed vg
-            # 11.6 -> 10.5M tracks/s (small-dot issue overhead).
-            c3 = c.reshape(A, G, -1)
-            s = c3[0]
-            for a in range(1, A):
-                s = s + c3[a]
-            return s
+            parts = []
+            for u in range(A):
+                s = c[u * G:u * G + GA]
+                for a in range(1, A):
+                    s = s + c[u * G + a * GA:u * G + (a + 1) * GA]
+                parts.append(s)
+            return parts
 
-        ct_lpf = untile(ctk_lp)
-        ct_mf = [untile(ctk_m[d]) for d in range(D)]
-        ct_tf = [untile(ctk_s2[d]) for d in range(D)]
+        def interleave_g(parts, slot):
+            if A == 1:
+                return parts[0]
+            v = jnp.concatenate([p[:, None] for p in parts],
+                                axis=1).reshape(G, -1)
+            if norm_ref is None:
+                return v
+            norm_ref[pl.ds(slot, 1)] = v[None]
+            return norm_ref[pl.ds(slot, 1)][0]
+
+        ct_lpf = interleave_g(untile(ctk_lp), 0)
+        ct_mf = [interleave_g(untile(ctk_m[d]), 1 + 2 * d)
+                 for d in range(D)]
+        ct_tf = [interleave_g(untile(ctk_s2[d]), 2 + 2 * d)
+                 for d in range(D)]
 
         # table cotangents (linear paths), lane-resolved
         d_ltv = ctk_lp
@@ -447,81 +553,46 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
         for o in range(A):
             s = fac
             for d in range(D):
-                s = s + (ct_mf[d] * nm3[d][:, o]
-                         + ct_tf[d] * tl3[d][:, o])
+                s = s + (ct_mf[d] * nmo[d][o] + ct_tf[d] * tlo[d][o])
             ct_bse.append(s * wn[o])
-        # per-slot assembly (k = g*A + o, o minor).  Two lowerings:
-        #
-        # * MXU permutation matmul (8-aligned K and G): out = Pm @ v with
-        #   v the o-major concat and Pm[g*A+o, o*G+g] = 1 — the sublane
-        #   interleave rides the otherwise-idle systolic array and the
-        #   result lands in a plain (K, BLK) layout, so no scratch
-        #   laundering round trip.  Exact: each output row selects ONE
-        #   input row (HIGHEST precision keeps the f32 mantissa through
-        #   the bf16 passes).
-        # * otherwise: concat of (G, 1, BLK) middle-unit inserts then
-        #   merge — the reshape-merged value carries an implicit-dim
-        #   layout Mosaic refuses to relayout at the downstream adds, so
-        #   it must be scratch-normalized (store first, use the fresh
-        #   read; dev-notes rule).
-        if use_mxu:
-            r = jax.lax.broadcasted_iota(jnp.int32, (K8, K8), 0)
-            c = jax.lax.broadcasted_iota(jnp.int32, (K8, K8), 1)
-            iperm = (((r % A) * G + r // A == c)
-                     & (r < K)).astype(jnp.float32)
 
-        def interleave(parts, slot):
-            if use_mxu:
-                v = jnp.concatenate(parts, axis=0)
-                if K8 != K:
-                    v = jnp.concatenate(
-                        [v, jnp.zeros((K8 - K, v.shape[1]), v.dtype)],
-                        axis=0)
-                out = jax.lax.dot(iperm, v,
-                                  precision=jax.lax.Precision.HIGHEST)
-                return out[:K] if K8 != K else out
-            v = jnp.concatenate([p[:, None] for p in parts],
-                                axis=1).reshape(K, -1)
-            if norm_ref is None:
-                return v
-            norm_ref[pl.ds(slot, 1)] = v[None]
-            return norm_ref[pl.ds(slot, 1)][0]
-
-        # (measured: batching the 1+2D dots into one wide lane-concat dot
-        # regressed 11.6 -> 11.1M tracks/s — the lane-concat copies cost
-        # more than the per-dot issue overhead they save)
-        ct_base_k = interleave(ct_bse, 0)
-
-        # prep backward per dimension.  ct_prod_k*prod folds exactly to
-        # -0.5*ct_base_k (ct_prod = -ct_base/(2 prod)), so neither prod
-        # nor its rsqrt is ever rebuilt; ct_quad_k = -ct_base_k likewise
-        # folds into the diff^2 term
+        # prep backward per storage block o (everything g-aligned:
+        # ct_bse[o] IS block o's per-slot base cotangent).  ct_prod*prod
+        # folds exactly to -0.5*ct_base (ct_prod = -ct_base/(2 prod)),
+        # so neither prod nor its rsqrt is ever rebuilt; ct_quad =
+        # -ct_base likewise folds into the diff^2 term.  Per-slot
+        # outputs assemble as plain concats of the per-o blocks.
         d_m, d_s2, d_l2 = [], [], []
-        cb2 = 0.5 * ct_base_k
         for d in range(D):
-            inv = invtot[d]
-            diff = x[d] - m[d]
-            nm, tl = new_m[d], tail[d]
-            ct_nm = interleave([ct_mf[d] * wn[o] for o in range(A)],
-                               1 + 2 * d)
-            ct_tl = interleave([ct_tf[d] * wn[o] for o in range(A)],
-                               2 + 2 * d)
-            # fold inv into the nm/tl cotangents ONCE: every downstream
-            # use (ct_tot, d_m, d_s2, d_l2) multiplies by inv otherwise
-            cn = ct_nm * inv
-            ctl = ct_tl * inv
-            e = diff * inv
-            ct_tot = cb2 * (diff * e - 1.0) * inv - cn * nm - ctl * tl
-            d_m.append(ct_base_k * e + cn * l2[d] + drop * ct_m[d])
-            d_s2.append(ct_tot + cn * x[d] + ctl * l2[d]
-                        + drop * ct_s2[d])
-            d_l2.append(jnp.sum(ct_tot + cn * m[d] + ctl * s2[d],
-                                axis=0, keepdims=True))
-        d_lp = ct_base_k + drop * ct_lp
+            dmb, dsb, dlb = [], [], None
+            for o in range(A):
+                sl = slice(o * G, (o + 1) * G)
+                inv = invtot[d][sl]
+                diff = x[d] - m[d][sl]
+                cnw = ct_mf[d] * wn[o]
+                ctw = ct_tf[d] * wn[o]
+                # fold inv in ONCE: every downstream use multiplies by it
+                cn = cnw * inv
+                ctl = ctw * inv
+                e = diff * inv
+                cb2 = 0.5 * ct_bse[o]
+                ct_tot = (cb2 * (diff * e - 1.0) * inv
+                          - cn * nmo[d][o] - ctl * tlo[d][o])
+                dmb.append(ct_bse[o] * e + cn * l2[d]
+                           + drop * ct_m[d][sl])
+                dsb.append(ct_tot + cn * x[d] + ctl * l2[d]
+                           + drop * ct_s2[d][sl])
+                dl = jnp.sum(ct_tot + cn * m[d][sl] + ctl * s2[d][sl],
+                             axis=0, keepdims=True)
+                dlb = dl if dlb is None else dlb + dl
+            d_m.append(jnp.concatenate(dmb, axis=0))
+            d_s2.append(jnp.concatenate(dsb, axis=0))
+            d_l2.append(dlb)
+        d_lp = jnp.concatenate(ct_bse, axis=0) + drop * ct_lp
         out = ((jnp.stack(d_m), jnp.stack(d_s2), d_lp), jnp.stack(d_l2),
                d_ltv, d_lsv)
         if per_step:
-            d_sg = jnp.sum(sum_ct_s2.reshape(P, K // P, -1), axis=1)
+            d_sg = _rfold(sum_ct_s2, pat_runs, P)
             return out + (jnp.zeros_like(ctk_lp), d_sg)
         return out + (sum_ct_s2,)
 
@@ -535,11 +606,13 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
                  logl_ref, ct_l2_ref, ct_lp0_ref, ct_s20_ref, ct_ltv_ref,
                  ct_lsv_ref, ct_endv_ref, ct_s2v_ref, ct_ltn_ref,
                  ct_s2n_ref, ct_lsn_ref, ct_endn_ref, ct_s2s_ref,
-                 mh, s2h, lph, ivh, wnh, okh, nmh, tlh, nrm,
+                 mh, s2h, lph, ivh, wnh, okh, nmh, tlh, nrm, ilv,
                  *, T, D, K, A, G, BLK, min_len, S=0, P=0, has_len2=True):
     lengths = len_ref[0, :].astype(jnp.int32)
     isbl = isbl_ref[0, :][None, :]
     per_step = P > 0
+    if per_step:
+        pat_runs = _class_runs(np.arange(K) // (K // P), K, A)
     (prep, close_l2, close_look, interior,
      interior_bwd, close_look_bwd) = _make_step(D, K, A, G, min_len,
                                                 S=S, P=P)
@@ -566,10 +639,9 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
     m = jnp.stack([jnp.broadcast_to(xs_ref[pl.ds(d, 1), :], (K, BLK))
                    for d in range(D)])
     if per_step:
-        Q = K // P
         s2_init = jnp.concatenate(
-            [jnp.broadcast_to(sig2s_ref[pl.ds(p, 1), :], (Q, BLK))
-             for p in range(P)], axis=0)
+            [jnp.broadcast_to(sig2s_ref[pl.ds(p, 1), :], (n, BLK))
+             for p, _, n in pat_runs], axis=0)
         s2 = jnp.stack([l2_ref[pl.ds(d, 1), :] + s2_init for d in range(D)])
     else:
         s2 = jnp.stack([l2_ref[pl.ds(d, 1), :] + s20_ref[:]
@@ -671,7 +743,7 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
             return (c3[0], c3[1], c3[2], x, l2, t, lengths,
                     ct_m, ct_s2, ct_lp, ivh[pl.ds(t - 1, 1)][0],
                     wnh[pl.ds(t - 1, 1)][0], okh[pl.ds(t - 1, 1)][0],
-                    nrm, nmh[pl.ds(t - 1, 1)][0], tlh[pl.ds(t - 1, 1)][0])
+                    ilv, nmh[pl.ds(t - 1, 1)][0], tlh[pl.ds(t - 1, 1)][0])
 
         # the interior pullback at the walk's first step (t = tmax - 1)
         # replays against the all-zero seed cotangent ct0 — pure waste;
@@ -794,11 +866,10 @@ def _grad_kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref,
     ct_s20 = jnp.sum(sum_s2, axis=1, keepdims=True)
     if per_step:
         # s2_0 = l2_0 + sig2[0, pattern(k)]: fold the init cotangent into
-        # the step-0 rows (slots [p*Q, (p+1)*Q) share pattern p).  The s20
-        # constant input is a traced slice of the same sig2 — its cotangent
-        # must stay zero or the init term double-counts.
-        Qi = K // P
-        d_init = jnp.sum(sum_s2.reshape(P, Qi, BLK), axis=1)
+        # the step-0 rows (per-pattern storage runs).  The s20 constant
+        # input is a traced slice of the same sig2 — its cotangent must
+        # stay zero or the init term double-counts.
+        d_init = _rfold(sum_s2, pat_runs, P)
         for p in range(P):
             ct_s2s_ref[pl.ds(p, 1), :] += d_init[p:p + 1]
         ct_s20 = jnp.zeros_like(ct_s20)
@@ -835,6 +906,18 @@ def _grad_call(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
     T, D, K, A, G, BLK, min_len, S, P, has_len2 = static
     per_step = P > 0
     Bp = xs.shape[1]
+    # o-major storage: register-indexed tables go in permuted, their
+    # cotangents come back permuted (storage_order docstring); l2 (rows
+    # t*D+d) and the sig2 stream (rows t*P+p) are not register-indexed
+    to_s, from_s = storage_order(K, A)
+    fidx, tidx = jnp.asarray(from_s), jnp.asarray(to_s)
+
+    def perm(v):
+        return jnp.take(v, fidx, axis=0)
+
+    lp0, s20, ltv, lsv, endv, s2v = map(
+        perm, (lp0, s20, ltv, lsv, endv, s2v))
+    ltn, s2n, lsn, endn = map(perm, (ltn, s2n, lsn, endn))
     kernel = functools.partial(_grad_kernel, T=T, D=D, K=K, A=A, G=G,
                                BLK=BLK, min_len=min_len, S=S, P=P,
                                has_len2=has_len2)
@@ -854,7 +937,7 @@ def _grad_call(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
         s2s_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
         s2s_shape = jax.ShapeDtypeStruct((1, 1), jnp.float32)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(Bp // BLK,),
         in_specs=[track_spec, track_spec, row_spec, row_spec]
@@ -874,12 +957,17 @@ def _grad_call(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
                         pltpu.VMEM((T - 1, K // A, BLK), jnp.float32),
                         pltpu.VMEM((T - 1, D, K, BLK), jnp.float32),  # nmh
                         pltpu.VMEM((T - 1, D, K, BLK), jnp.float32),  # tlh
-                        pltpu.VMEM((1 + 2 * D, K, BLK), jnp.float32)],
+                        pltpu.VMEM((1, K, BLK), jnp.float32),   # zmat
+                        pltpu.VMEM((1 + 2 * D, G, BLK), jnp.float32)],
         compiler_params=None if INTERPRET else pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT),
         interpret=INTERPRET,
     )(xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv, s2v,
       ltn, s2n, lsn, endn, sig2s)
+    # depermute the register-indexed cotangents back to slot order
+    return (tuple(out[:2])
+            + tuple(jnp.take(o, tidx, axis=0) for o in out[2:12])
+            + (out[12],))
 
 
 def _value_call(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
@@ -980,9 +1068,9 @@ def supported_block(T: int, D: int, K: int, A: int = 2) -> int:
     fits the VMEM budget (0 = unsupported; callers fall back to XLA).
 
     History = (m, s2, lp) + the backward stash (invtot, wn, ok, new_m,
-    tail) per step plus the interleave-normalization scratch."""
+    tail) per step plus the zmat + interleave-normalization scratch."""
     history = ((T - 1) * ((5 * D + 2) * K + K // A) * 4
-               + (1 + 2 * D) * K * 4)
+               + (K + (1 + 2 * D) * (K // A)) * 4)
     # per-lane pullback live set, calibrated on Mosaic's reported scoped
     # allocation (19.5MiB at K=81, A=9, D=2, BLK=256)
     live = (8 * A * D + 40) * K * 4
@@ -991,8 +1079,13 @@ def supported_block(T: int, D: int, K: int, A: int = 2) -> int:
 
 def supports(T: int, D: int, nb_states: int, window: int,
              nb_substeps: int = 1) -> bool:
-    return supported_block(T, D, nb_states ** window,
-                           nb_states ** nb_substeps) >= 128
+    K, A = nb_states ** window, nb_states ** nb_substeps
+    if A > 1 and (K // A) % A:
+        # o-major storage needs A | G (window >= 2*nb_substeps); the one
+        # real config outside it (window == nb_substeps + 1 with
+        # nb_substeps >= 2) runs the XLA engine instead
+        return False
+    return supported_block(T, D, K, A) >= 128
 
 
 def neg_log_likelihood(positions, lengths, is_bleached, tables: ModelTables,
@@ -1042,6 +1135,10 @@ def prepare_args(positions, lengths, is_bleached, tables: ModelTables,
     f32 = jnp.float32
     sig2 = tables.sig2
     per_step = classify_sig2(sig2, T)
+    if A > 1 and G % A:
+        raise NotImplementedError(
+            f"window ({W}) must be >= 2*nb_substeps ({2 * n}) for the "
+            "o-major storage layout — use the XLA engine")
     max_blk = supported_block(T, D, K, A)
     if max_blk < 128:
         raise NotImplementedError(

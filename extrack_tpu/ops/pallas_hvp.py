@@ -62,15 +62,17 @@ def supported_block(T: int, D: int, K: int, A: int = 2) -> int:
     tangent history + a dual pullback live set (~2x the gradient
     kernel's)."""
     history = ((T - 1) * ((6 * D + 4) * K + K // A) * 4
-               + (1 + 2 * D) * K * 4)
+               + K * 4)
     live = 2 * (8 * A * D + 40) * K * 4
     return (_SCRATCH_BUDGET // (history + live)) // 128 * 128
 
 
 def supports(T: int, D: int, nb_states: int, window: int,
              nb_substeps: int = 1) -> bool:
-    return supported_block(T, D, nb_states ** window,
-                           nb_states ** nb_substeps) >= 128
+    K, A = nb_states ** window, nb_states ** nb_substeps
+    if A > 1 and (K // A) % A:
+        return False                 # o-major layout needs A | G
+    return supported_block(T, D, K, A) >= 128
 
 
 def _hvp_kernel(xs_ref, len_ref, isbl_ref,
@@ -121,12 +123,13 @@ def _hvp_kernel(xs_ref, len_ref, isbl_ref,
                    for d in range(D)])
     mt = jnp.zeros_like(m)                      # positions carry no tangent
     if per_step:
-        Q = K // P
+        # o-major storage: per-pattern runs (pallas_grad._class_runs)
+        pat_runs = _pg._class_runs(np.arange(K) // (K // P), K, A)
 
         def s2i(ref):
             return jnp.concatenate(
-                [jnp.broadcast_to(ref[pl.ds(p, 1), :], (Q, BLK))
-                 for p in range(P)], axis=0)
+                [jnp.broadcast_to(ref[pl.ds(p, 1), :], (n, BLK))
+                 for p, _, n in pat_runs], axis=0)
 
         s2 = jnp.stack([l2_ref[pl.ds(d, 1), :] + s2i(sig2s_ref)
                         for d in range(D)])
@@ -422,8 +425,7 @@ def _hvp_kernel(xs_ref, len_ref, isbl_ref,
             sum_s2 = sum_s2 + ct_s2[d]
         ct_s20 = jnp.sum(sum_s2, axis=1, keepdims=True)
         if per_step:
-            Qi = K // P
-            d_init = jnp.sum(sum_s2.reshape(P, Qi, BLK), axis=1)
+            d_init = _pg._rfold(sum_s2, pat_runs, P)
             for p in range(P):
                 s2s_ref_out[pl.ds(p, 1), :] += d_init[p:p + 1]
             ct_s20 = jnp.zeros_like(ct_s20)
@@ -467,6 +469,20 @@ def _hvp_kernel(xs_ref, len_ref, isbl_ref,
 def _hvp_call(static, xs, lengths_f, isbl, dargs, dargs_dot):
     T, D, K, A, G, BLK, min_len, S, P, has_len2 = static
     per_step = P > 0
+    # o-major storage (pallas_grad.storage_order): permute the
+    # register-indexed tables (and their tangents) in, depermute their
+    # cotangent outputs; dargs[0] (l2) and dargs[11] (sig2 stream) are
+    # not register-indexed
+    to_s, from_s = _pg.storage_order(K, A)
+    fidx, tidx = jnp.asarray(from_s), jnp.asarray(to_s)
+
+    def perm_args(a):
+        return ((a[0],)
+                + tuple(jnp.take(v, fidx, axis=0) for v in a[1:11])
+                + (a[11],))
+
+    dargs = perm_args(tuple(dargs))
+    dargs_dot = perm_args(tuple(dargs_dot))
     max_blk = supported_block(T, D, K, A)
     if max_blk < 128:
         raise NotImplementedError(
@@ -523,12 +539,18 @@ def _hvp_call(static, xs, lengths_f, isbl, dargs, dargs_dot):
                         pltpu.VMEM((T - 1, K, BLK), jnp.float32),
                         pltpu.VMEM((T - 1, K, BLK), jnp.float32),
                         pltpu.VMEM((T - 1, K // A, BLK), jnp.float32),
-                        pltpu.VMEM((1 + 2 * D, K, BLK), jnp.float32)],
+                        pltpu.VMEM((1, K, BLK), jnp.float32)],
         compiler_params=None if _pg.INTERPRET else pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT),
         interpret=_pg.INTERPRET,
     )(xs, lengths_f, isbl, *dargs, *dargs_dot)
-    return out
+
+    def deperm(half):
+        return (tuple(half[:2])
+                + tuple(jnp.take(o, tidx, axis=0) for o in half[2:12])
+                + (half[12],))
+
+    return deperm(out[:13]) + deperm(out[13:])
 
 
 @functools.partial(jax.custom_jvp, nondiff_argnums=(0,))

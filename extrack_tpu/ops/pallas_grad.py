@@ -55,6 +55,12 @@ def _tile_jvp(A, primals, tangents):
 # module-level switch for interpreter-mode testing on CPU
 INTERPRET = False
 
+# how the backward walk's G-row interleave pins its layout (measured on
+# TPU via benchmarks/grad_bench.py; see interleave_g in _make_step):
+# "scratch" = store+read laundering round trip, "barrier" =
+# lax.optimization_barrier, "none" = use the reshape-merged value as-is
+INTERLEAVE_MODE = "scratch"
+
 
 def storage_order(K: int, A: int):
     """o-major storage permutation of the register dimension.
@@ -523,8 +529,10 @@ def _make_step(D, K, A, G, min_len, S=0, P=0):
                 return parts[0]
             v = jnp.concatenate([p[:, None] for p in parts],
                                 axis=1).reshape(G, -1)
-            if norm_ref is None:
+            if norm_ref is None or INTERLEAVE_MODE == "none":
                 return v
+            if INTERLEAVE_MODE == "barrier":
+                return jax.lax.optimization_barrier(v)
             norm_ref[pl.ds(slot, 1)] = v[None]
             return norm_ref[pl.ds(slot, 1)][0]
 
@@ -960,7 +968,7 @@ def _grad_call(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
                         pltpu.VMEM((1, K, BLK), jnp.float32),   # zmat
                         pltpu.VMEM((1 + 2 * D, G, BLK), jnp.float32)],
         compiler_params=None if INTERPRET else pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_LIMIT),
+            vmem_limit_bytes=GRAD_VMEM_LIMIT),
         interpret=INTERPRET,
     )(xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv, s2v,
       ltn, s2n, lsn, endn, sig2s)
@@ -1056,11 +1064,14 @@ _neg_logl.defvjp(_neg_logl_fwd, _neg_logl_bwd)
 
 
 # Mosaic's scoped-VMEM allocation covers the declared scratch (the carry
-# history) PLUS the live set of the in-kernel jax.vjp pullback, which grows
-# with the look-ahead branch count A = S^n.  Blocks are sized so both fit
-# the budget; VMEM_LIMIT is shared with pallas_engine (raised above
-# Mosaic's 16MiB default; v5e/v5p have 128MiB of physical VMEM per core).
-_SCRATCH_BUDGET = 52 * 1024 * 1024
+# history) PLUS the live set of the in-kernel pullback, which grows with
+# the look-ahead branch count A = S^n.  Blocks are sized so both fit the
+# budget.  The gradient kernel gets its own, higher limit than the
+# forward kernel (v5e/v5p have 128MiB of physical VMEM per core): the
+# 3-state W=5 walk at BLK=384 measured vg 3.48M vs 3.40M tracks/s at
+# the old 52MiB/BLK=256 cap, and the budget is what gates the block.
+_SCRATCH_BUDGET = 76 * 1024 * 1024
+GRAD_VMEM_LIMIT = 104 * 1024 * 1024
 
 
 def supported_block(T: int, D: int, K: int, A: int = 2) -> int:

@@ -63,7 +63,8 @@ def main():
     out = sample.sample_posterior(
         tracks, 0.02, res.params, nb_states=2,
         num_samples=args.samples, num_warmup=args.warmup,
-        num_chains=args.chains, seed=3, cell_dims=(0.5,), verbose=1)
+        num_chains=args.chains, seed=3, cell_dims=(0.5,),
+        fisher_sd=res.std_errors, verbose=1)
     wall = time.perf_counter() - t0
     print(out.summary(), flush=True)
 

@@ -68,6 +68,70 @@ def _dig(k, i, S, W):
     return (k // S ** (W - 1 - i)) % S
 
 
+def storage_order(K: int, A: int):
+    """o-major storage permutation of the register dimension.
+
+    The slot encoding keeps the n oldest sub-step digits MINOR (slot
+    k = g*A + o), so fusion groups are A interleaved consecutive rows:
+    the o-reduce then needs (G, A, BLK) reshapes with stride-A sublane
+    gathers (measured 783 ns per gather set at K=243/BLK=256), and
+    reverse-mode assemblies need K-row interleave scatters (1148 ns
+    each, scratch-laundered) — vs 142 ns for contiguous slices
+    (benchmarks/grad3_probe.json).  The kernels therefore store slot k
+    at row r = (k % A) * G + k // A, so a fusion group's members sit at
+    the SAME row of the A contiguous (G, BLK) blocks and every per-o
+    access is a contiguous block slice.  The children of fused group g
+    land at rows (g % A) * G + a * (G // A) + g // A: the tile is a
+    stride-A subsample + native repeat per block (requires A | G, i.e.
+    window >= 2*nb_substeps; other configs keep the o-minor layout).
+
+    Returns (to_storage, from_storage) index vectors:
+    ``table_storage = table[from_storage]`` and
+    ``ct_slot = ct_storage[to_storage]``.
+    """
+    G = K // A
+    r = np.arange(K)
+    from_storage = (r % G) * A + r // G
+    to_storage = np.argsort(from_storage)
+    return to_storage, from_storage
+
+
+def _class_runs(class_of_k, K, A):
+    """Run-length encoding over STORAGE rows of a per-slot class id:
+    tuple of (class_id, start_row, n_rows).  Classes contiguous in slot
+    order (digit prefixes: the dt pattern k // (K/P), the newest digit
+    k // (K/S)) stay contiguous runs within each storage block."""
+    G = K // A
+    r = np.arange(K)
+    c = np.asarray(class_of_k)[(r % G) * A + r // G]
+    runs, s = [], 0
+    for i in range(1, K + 1):
+        if i == K or c[i] != c[s]:
+            runs.append((int(c[s]), s, i - s))
+            s = i
+    return tuple(runs)
+
+
+def _rfold(x, runs, n_classes):
+    """(K, BLK) storage-order rows -> (n_classes, BLK) per-class sublane
+    sums, via the run list (each run is one contiguous slice reduce)."""
+    outs = [None] * n_classes
+    for cls, st, n in runs:
+        v = jnp.sum(x[st:st + n], axis=0, keepdims=True)
+        outs[cls] = v if outs[cls] is None else outs[cls] + v
+    return jnp.concatenate(outs, axis=0)
+
+
+def _rexpand(rows_fn, runs):
+    """Per-class (1, BLK) rows -> (K, BLK) storage-order table (the
+    storage-layout analog of _expand_rows)."""
+    parts = []
+    for cls, _, n in runs:
+        row = rows_fn(cls)
+        parts.append(jnp.broadcast_to(row, (n, row.shape[-1])))
+    return jnp.concatenate(parts, axis=0)
+
+
 # the kernels' max-shifted exp-sums assume FINITE log tables (build_tables
 # floors log(0) at -1e15); a hand-built ModelTables with true -inf entries
 # would yield NaN (inf - inf).  The floor is re-applied here so direct
@@ -155,11 +219,34 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
     lengths = len_ref[0, :]                      # (BLK,) int32
     isbl = isbl_ref[0, :][None, :]               # (1, BLK)
     per_step = P > 0
+    # o-major storage (storage_order): fusion groups are the same row of
+    # A contiguous blocks and every per-o access is a contiguous slice;
+    # the rare A-does-not-divide-G configs (window < 2*nb_substeps) keep
+    # the legacy o-minor layout (reshape gathers + plain repeat tiles)
+    omajor = A == 1 or K // A % A == 0
     Q = K // P if per_step else 0                # reps per pattern row
     QN = K // S if per_step else 0               # reps per newest-state row
+    if per_step and omajor:
+        pat_runs = _class_runs(np.arange(K) // (K // P), K, A)
+        new_runs = _class_runs(np.arange(K) // (K // S), K, A)
+    GA = G // A if A > 1 else G
+
+    def tile(v):
+        # fused (G, BLK) -> (K, BLK) children (see storage_order)
+        if A == 1:
+            return v
+        if not omajor:
+            return pltpu.repeat(v, A, axis=0)
+        sub = v.reshape(GA, A, BLK)
+        return jnp.concatenate(
+            [pltpu.repeat(sub[:, u], A, axis=0) for u in range(A)],
+            axis=0)
 
     def s2_slot_table(t):
-        # (K, BLK) displacement variance of step t, in slot encoding
+        # (K, BLK) displacement variance of step t, in register layout
+        if omajor and per_step:
+            return _rexpand(
+                lambda p: s2v_ref[pl.ds(t * P + p, 1), :], pat_runs)
         return _expand_rows(lambda p: s2v_ref[pl.ds(t * P + p, 1), :],
                             P, Q, BLK)
 
@@ -235,9 +322,16 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
             for a in range(A):
                 if per_step:
                     # child pair = (pattern a, parent newest state)
-                    s2n_a = _expand_rows(
-                        lambda s: s2v_ref[pl.ds(tc * P + a * S + s, 1), :],
-                        S, QN, BLK)
+                    if omajor:
+                        s2n_a = _rexpand(
+                            lambda s, a=a: s2v_ref[
+                                pl.ds(tc * P + a * S + s, 1), :],
+                            new_runs)
+                    else:
+                        s2n_a = _expand_rows(
+                            lambda s: s2v_ref[
+                                pl.ds(tc * P + a * S + s, 1), :],
+                            S, QN, BLK)
                 prod_n = jnp.ones((K, BLK), jnp.float32)
                 quad_n = jnp.zeros((K, BLK), jnp.float32)
                 for d in range(D):
@@ -279,12 +373,20 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
         # (the whole fusion for 3-frame buckets).
         @pl.when(t < lmax - 2)
         def _fuse_update():
-            base3 = (lp - quad).reshape(G, A, BLK)
-            rq3 = jax.lax.rsqrt(prod).reshape(G, A, BLK)
-            mxs = base3[:, 0]
+            if omajor:
+                base = lp - quad
+                rq = jax.lax.rsqrt(prod)
+                bp = [base[o * G:(o + 1) * G] for o in range(A)]
+                rp = [rq[o * G:(o + 1) * G] for o in range(A)]
+            else:
+                base3 = (lp - quad).reshape(G, A, BLK)
+                rq3 = jax.lax.rsqrt(prod).reshape(G, A, BLK)
+                bp = [base3[:, o] for o in range(A)]
+                rp = [rq3[:, o] for o in range(A)]
+            mxs = bp[0]
             for o in range(1, A):
-                mxs = jnp.maximum(mxs, base3[:, o])
-            w = [jnp.exp(base3[:, o] - mxs) * rq3[:, o] for o in range(A)]
+                mxs = jnp.maximum(mxs, bp[o])
+            w = [jnp.exp(bp[o] - mxs) * rp[o] for o in range(A)]
             sw = w[0]
             for o in range(1, A):
                 sw = sw + w[o]
@@ -295,24 +397,24 @@ def _kernel(xs_ref, l2_ref, len_ref, isbl_ref, lp0_ref, s20_ref, ltv_ref,
             s2_add = (s2_slot_table(jnp.minimum(t, T - 2)) if per_step
                       else s2v_ref[:])
             for d in range(D):
-                nm3 = new_m[d].reshape(G, A, BLK)
-                tl3 = tail[d].reshape(G, A, BLK)
-                m_f = w[0] * nm3[:, 0]
-                t_f = w[0] * tl3[:, 0]
+                if omajor:
+                    nmp = [new_m[d][o * G:(o + 1) * G] for o in range(A)]
+                    tlp = [tail[d][o * G:(o + 1) * G] for o in range(A)]
+                else:
+                    nm3 = new_m[d].reshape(G, A, BLK)
+                    tl3 = tail[d].reshape(G, A, BLK)
+                    nmp = [nm3[:, o] for o in range(A)]
+                    tlp = [tl3[:, o] for o in range(A)]
+                m_f = w[0] * nmp[0]
+                t_f = w[0] * tlp[0]
                 for o in range(1, A):
-                    m_f += w[o] * nm3[:, o]
-                    t_f += w[o] * tl3[:, o]
+                    m_f += w[o] * nmp[o]
+                    t_f += w[o] * tlp[o]
                 m_f *= inv_sw
                 t_f *= inv_sw
-                # children of slot g are rows a*G+g: tile the fused block
-                # A times
-                m_sc[d] = jnp.where(keep, pltpu.repeat(m_f, A, axis=0),
-                                    m_sc[d])
-                s2_sc[d] = jnp.where(keep,
-                                     s2_add + pltpu.repeat(t_f, A, axis=0),
-                                     s2_sc[d])
-            lp_new = (pltpu.repeat(lp_f, A, axis=0) + ltv_ref[:]
-                      + gate * lsv_ref[:])
+                m_sc[d] = jnp.where(keep, tile(m_f), m_sc[d])
+                s2_sc[d] = jnp.where(keep, s2_add + tile(t_f), s2_sc[d])
+            lp_new = tile(lp_f) + ltv_ref[:] + gate * lsv_ref[:]
             lp_sc[:] = jnp.where(keep, lp_new, lp)
 
         return acc
@@ -365,6 +467,17 @@ def forward_pallas(positions,
     lt = lt - f32(0.5 * D * np.log(2 * np.pi))
     ltn, s2n, lsn, endn = [v.astype(f32)
                            for v in build_next_tables(tables, W, n)]
+
+    if A == 1 or G % A == 0:
+        # o-major storage: register-indexed tables go in permuted; the
+        # output is per-lane, so nothing comes back register-indexed
+        _, from_s = storage_order(K, A)
+        fidx = jnp.asarray(from_s)
+        lp0, s20, lt, lsurv, end, sig2v = (
+            jnp.take(v, fidx, axis=0)
+            for v in (lp0, s20, lt, lsurv, end, sig2v))
+        ltn, s2n, lsn, endn = (jnp.take(v, fidx, axis=0)
+                               for v in (ltn, s2n, lsn, endn))
 
     cap = forward_block_cap(D, K, A, T, P if per_step else 0)
     if cap < 128:

@@ -29,9 +29,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from extrack_tpu.core.tables import ModelTables
-from extrack_tpu.ops.pallas_engine import (VMEM_LIMIT, _sig2_stream,
+from extrack_tpu.ops.pallas_engine import (VMEM_LIMIT, _class_runs,
+                                           _rexpand, _rfold,
+                                           _sig2_stream,
                                            build_next_tables,
-                                           build_slot_tables, classify_sig2)
+                                           build_slot_tables,
+                                           classify_sig2, storage_order)
 
 _TINY = 1e-30
 
@@ -62,74 +65,9 @@ INTERPRET = False
 INTERLEAVE_MODE = "scratch"
 
 
-def storage_order(K: int, A: int):
-    """o-major storage permutation of the register dimension.
-
-    The engine's slot encoding keeps the n oldest sub-step digits MINOR
-    (slot k = g*A + o), so fusion groups are A interleaved consecutive
-    rows and the backward walk must assemble per-slot cotangents with
-    K-row stride-A interleaves — at odd K (3-state windows) those lower
-    to scratch-laundered sublane shuffles that dominate the walk
-    (benchmarks/grad3_probe.py).  The gradient/HVP kernels therefore
-    store every (K, BLK) register array PERMUTED, slot k at row
-    r = (k % A) * G + k // A, so that
-
-      * a fusion group's members sit at the SAME row g of the A
-        contiguous (G, BLK) blocks — the o-reduce is elementwise over
-        block slices, no strided gathers, and
-      * per-slot backward assemblies become plain concats of per-o
-        blocks; the only interleave left is the G-row one rebuilding the
-        fused-space cotangents from the untile's stride-subsampled parts.
-
-    Requires A | G (window >= 2*nb_substeps): the children of fused group
-    g then land at rows (g % A) * G + a * (G // A) + g // A, i.e. block
-    g % A carries repeat-tiled stride-A subsamples of the fused block.
-
-    Returns (to_storage, from_storage) index vectors:
-    ``table_storage = table[from_storage]`` and
-    ``ct_slot = ct_storage[to_storage]``.
-    """
-    G = K // A
-    r = np.arange(K)
-    from_storage = (r % G) * A + r // G
-    to_storage = np.argsort(from_storage)
-    return to_storage, from_storage
-
-
-def _class_runs(class_of_k, K, A):
-    """Run-length encoding over STORAGE rows of a per-slot class id:
-    tuple of (class_id, start_row, n_rows).  Classes contiguous in slot
-    order (digit prefixes: the dt pattern k // (K/P), the newest digit
-    k // (K/S)) stay contiguous runs within each storage block."""
-    G = K // A
-    r = np.arange(K)
-    c = np.asarray(class_of_k)[(r % G) * A + r // G]
-    runs, s = [], 0
-    for i in range(1, K + 1):
-        if i == K or c[i] != c[s]:
-            runs.append((int(c[s]), s, i - s))
-            s = i
-    return tuple(runs)
-
-
-def _rfold(x, runs, n_classes):
-    """(K, BLK) storage-order rows -> (n_classes, BLK) per-class sublane
-    sums, via the run list (each run is one contiguous slice reduce)."""
-    outs = [None] * n_classes
-    for cls, st, n in runs:
-        v = jnp.sum(x[st:st + n], axis=0, keepdims=True)
-        outs[cls] = v if outs[cls] is None else outs[cls] + v
-    return jnp.concatenate(outs, axis=0)
-
-
-def _rexpand(rows_fn, runs):
-    """Per-class (1, BLK) rows -> (K, BLK) storage-order table (the
-    storage-layout analog of pallas_engine._expand_rows)."""
-    parts = []
-    for cls, _, n in runs:
-        row = rows_fn(cls)
-        parts.append(jnp.broadcast_to(row, (n, row.shape[-1])))
-    return jnp.concatenate(parts, axis=0)
+# storage_order/_class_runs/_rfold/_rexpand live in pallas_engine (the
+# forward kernel shares the o-major layout); re-exported here for the
+# HVP kernel and external callers.
 
 
 def _make_step(D, K, A, G, min_len, S=0, P=0):
@@ -989,6 +927,15 @@ def _value_call(static, xs, l2, lengths_f, isbl, lp0, s20, ltv, lsv, endv,
     T, D, K, A, G, BLK, min_len, S, P, _ = static
     per_step = P > 0
     Bp = xs.shape[1]
+    # same o-major permutation as _grad_call (pe._kernel picks the
+    # o-major layout whenever A | G, which prepare_args guarantees here)
+    _, from_s = storage_order(K, A)
+    fidx = jnp.asarray(from_s)
+    lp0, s20, ltv, lsv, endv, s2v = (
+        jnp.take(v, fidx, axis=0)
+        for v in (lp0, s20, ltv, lsv, endv, s2v))
+    ltn, s2n, lsn, endn = (jnp.take(v, fidx, axis=0)
+                           for v in (ltn, s2n, lsn, endn))
     kernel = functools.partial(pe._kernel, T=T, D=D, K=K, A=A, G=G,
                                BLK=BLK, min_len=min_len, S=S, P=P)
     track_spec = pl.BlockSpec((T * D, BLK), lambda i: (0, i),

@@ -8,12 +8,21 @@ leapfrog step runs the Pallas custom-VJP gradient kernel, so a thousand
 posterior draws cost about a thousand optimizer iterations.
 
 TPU-native design: each chain — dual-averaging step-size warmup,
-diagonal mass-matrix estimation, and the sampling phase — is a pair of
-``lax.scan``s, and ALL chains are vmapped into ONE jitted program; a
-whole multi-chain run is a single device dispatch regardless of chain
-count or length (through the remote-TPU tunnel a per-sample dispatch
-would cost ~28 ms each, dwarfing the kernel).  Track batches enter as jit ARGUMENTS (never closed over — a
-closed-over 1M-track dataset bakes into the executable, CLAUDE.md).
+diagonal mass-matrix estimation, and the sampling phase — runs as
+``lax.scan``s with ALL chains vmapped into each jitted dispatch, so the
+number of tunnel syncs is independent of the chain count (through the
+remote-TPU tunnel a per-sample dispatch would cost ~28 ms each,
+dwarfing the kernel; measured multi-chain overhead: 4 chains = 1.08x
+one chain's wall time).  Long runs split into ``dispatch_chunk``-
+iteration dispatches with the chain state carried across, bit-
+identically — a monolithic multi-thousand-iteration program crashed
+the remote TPU worker (benchmarks/sampler_bench.py).  Track batches
+enter as jit ARGUMENTS (never closed over — a closed-over 1M-track
+dataset bakes into the executable, CLAUDE.md).  When the warm-start
+fit's Fisher errors are passed (``fisher_sd``) they precondition the
+warmup metric and the start spread — without this, large datasets make
+the posterior sharp enough that identity-metric warmup never brings
+the over-dispersed chains together (R-hat 7-15 at 10k tracks).
 
 The target density is the likelihood times a flat prior on the BOUNDED
 parameters: sampling runs in the fit's unconstrained space z, so the
@@ -24,6 +33,8 @@ the user's usual responsibility (the default parameter bounds are all
 finite except via generate_params' explicit choices).
 """
 from __future__ import annotations
+
+import functools
 
 from dataclasses import dataclass, field
 from typing import Dict, Optional
@@ -83,32 +94,36 @@ def _leapfrog(vg, z, p, inv_mass, eps, n_steps, data):
     return z, p, us[-1], g
 
 
-def _hmc_chain(vg, z0, data, key, *, num_warmup, num_samples, n_leapfrog,
-               target_accept, init_step, jitter=0.2):
-    """One chain, fully jitted.
+def _hmc_kernels(vg, *, n_leapfrog, target_accept, jitter, dim, dtype):
+    """Chunk-steppable HMC pieces (one chain; the driver vmaps them).
 
-    Warmup in two phases: (A) dual-averaging step-size adaptation at
-    identity mass, estimating the posterior variance over its second
-    half; (B) re-adaptation of the step size under the new diagonal
-    mass (a step size tuned for one metric does not transfer to
-    another).  Then the sampling scan with both frozen.
+    Warmup runs in two phases: (A) dual-averaging step-size adaptation
+    (Hoffman & Gelman 2014, sec. 3.2) at identity mass, estimating the
+    posterior variance over its second half; (B) re-adaptation under
+    the new diagonal mass (a step size tuned for one metric does not
+    transfer to another).  Then the sampling scan with both frozen.
+
+    Each piece scans a bounded number of iterations from an explicit
+    carry so the driver can split a long run into several device
+    dispatches: a monolithic 1500-iteration x 4-chain program
+    (~36k sequential gradient kernels in ONE dispatch) crashed the
+    remote TPU worker outright — the chunked form is bit-identical
+    (same per-iteration key splits, phase-local iteration indices ride
+    in as a traced ``start``) while keeping every dispatch minutes
+    long at most.
 
     ``jitter`` randomizes the per-iteration step size by a uniform
     factor in [1-jitter, 1+jitter], which jitters the TRAJECTORY LENGTH
     eps*n_leapfrog — the standard fixed-compute-cost guard against
-    periodic-orbit resonance (a trajectory that nearly returns to its
-    start every iteration, stalling exploration).  Randomizing the step
-    count instead would either waste gradient evals on masked no-op
-    steps or break the fixed shapes jit needs; scaling eps is
-    equivalent for resonance and free.
+    periodic-orbit resonance.  Randomizing the step count instead would
+    either waste gradient evals on masked no-op steps or break the
+    fixed shapes jit needs; scaling eps is equivalent for resonance and
+    free.
     """
-    dim = z0.shape[0]
-    dtype = z0.dtype
-
     def kinetic(p, inv_mass):
         return 0.5 * jnp.sum(p * p * inv_mass)
 
-    def hmc_step(z, u, key, eps, inv_mass):
+    def hmc_step(z, u, key, eps, inv_mass, data):
         k1, k2, k3 = jax.random.split(key, 3)
         eps = eps * jax.random.uniform(
             k3, dtype=dtype, minval=1.0 - jitter, maxval=1.0 + jitter)
@@ -124,15 +139,15 @@ def _hmc_chain(vg, z0, data, key, *, num_warmup, num_samples, n_leapfrog,
         u = jnp.where(accept, u_new, u)
         return z, u, jnp.exp(log_acc)
 
-    def warm_phase(z, u, key, inv_mass, steps, eps0, collect_from):
-        """Dual averaging (Hoffman & Gelman 2014, sec. 3.2) toward
-        target_accept; accumulates z moments from ``collect_from`` on."""
-        mu = jnp.log(10.0) + jnp.log(eps0)
-
-        def body(carry, i):
-            z, u, key, log_eps, log_eps_bar, h_bar, s1, s2, n = carry
+    def warm_chunk(carry, data, inv_mass, mu, collect_from, start, *,
+                   steps):
+        """``steps`` warmup iterations from phase-local index ``start``;
+        carry = (z, u, key, log_eps, log_eps_bar, h_bar, s1, s2, n)."""
+        def body(c, i):
+            z, u, key, log_eps, log_eps_bar, h_bar, s1, s2, n = c
             key, sub = jax.random.split(key)
-            z, u, alpha = hmc_step(z, u, sub, jnp.exp(log_eps), inv_mass)
+            z, u, alpha = hmc_step(z, u, sub, jnp.exp(log_eps), inv_mass,
+                                   data)
             t = i + 1.0
             h_bar = (1.0 - 1.0 / (t + 10.0)) * h_bar \
                 + (target_accept - alpha) / (t + 10.0)
@@ -143,36 +158,58 @@ def _hmc_chain(vg, z0, data, key, *, num_warmup, num_samples, n_leapfrog,
             return (z, u, key, log_eps, log_eps_bar, h_bar,
                     s1 + in_win * z, s2 + in_win * z * z, n + in_win), None
 
-        carry0 = (z, u, key, jnp.log(eps0), jnp.log(eps0),
-                  jnp.zeros((), dtype), jnp.zeros((dim,), dtype),
-                  jnp.zeros((dim,), dtype), jnp.zeros((), dtype))
-        carry, _ = jax.lax.scan(body, carry0,
-                                jnp.arange(steps, dtype=dtype))
-        z, u = carry[0], carry[1]
+        return jax.lax.scan(body, carry,
+                            jnp.arange(steps, dtype=dtype) + start)[0]
+
+    def samp_chunk(carry, data, eps, inv_mass, *, steps):
+        """``steps`` sampling iterations; carry = (z, u, key)."""
+        def body(c, _):
+            z, u, key = c
+            key, sub = jax.random.split(key)
+            z, u, alpha = hmc_step(z, u, sub, eps, inv_mass, data)
+            return (z, u, key), (z, alpha)
+
+        return jax.lax.scan(body, carry, None, length=steps)
+
+    return warm_chunk, samp_chunk
+
+
+def _hmc_chain(vg, z0, data, key, *, num_warmup, num_samples, n_leapfrog,
+               target_accept, init_step, jitter=0.2):
+    """One chain as a single traceable program (the integrator tests jit
+    this directly; production runs go through sample_posterior's chunked
+    driver, which executes the SAME kernels and is bit-identical)."""
+    dim, dtype = z0.shape[0], z0.dtype
+    warm_chunk, samp_chunk = _hmc_kernels(
+        vg, n_leapfrog=n_leapfrog, target_accept=target_accept,
+        jitter=jitter, dim=dim, dtype=dtype)
+
+    def phase(z, u, k, inv_mass, steps, eps0, collect_from):
+        log_eps0 = jnp.log(eps0)
+        zs_ = jnp.zeros((), dtype)
+        zd = jnp.zeros((dim,), dtype)
+        carry = (z, u, k, log_eps0, log_eps0, zs_, zd, zd, zs_)
+        carry = warm_chunk(carry, data, inv_mass,
+                           jnp.log(10.0) + log_eps0,
+                           jnp.asarray(collect_from, dtype),
+                           jnp.zeros((), dtype), steps=steps)
         eps_bar = jnp.exp(carry[4])
         n = jnp.maximum(carry[8], 2.0)
         var = jnp.maximum(carry[7] / n - (carry[6] / n) ** 2, 0.0)
-        return z, u, carry[2], eps_bar, var
+        return carry[0], carry[1], carry[2], eps_bar, var
 
     u0 = vg(z0, data)[0]
     steps_a = max(2 * num_warmup // 3, 1)
     steps_b = max(num_warmup - steps_a, 1)
     key, ka = jax.random.split(key)
-    z, u, key, eps_a, var = warm_phase(
-        z0, u0, ka, jnp.ones((dim,), dtype), steps_a,
-        jnp.asarray(init_step, dtype), steps_a // 2)
+    z, u, key, eps_a, var = phase(z0, u0, ka, jnp.ones((dim,), dtype),
+                                  steps_a, jnp.asarray(init_step, dtype),
+                                  steps_a // 2)
     inv_mass = jnp.clip(var, 1e-6, 1e6)
-    z, u, key, eps, _ = warm_phase(z, u, key, inv_mass, steps_b, eps_a,
-                                   steps_b + 1)
-
-    def samp_body(carry, _):
-        z, u, key = carry
-        key, sub = jax.random.split(key)
-        z, u, alpha = hmc_step(z, u, sub, eps, inv_mass)
-        return (z, u, key), (z, alpha)
-
-    (z, u, _), (zs, alphas) = jax.lax.scan(samp_body, (z, u, key), None,
-                                           length=num_samples)
+    z, u, key, eps, _ = phase(z, u, key, inv_mass, steps_b, eps_a,
+                              steps_b + 1)
+    (z, u, _), (zs, alphas) = samp_chunk((z, u, key), data, eps, inv_mass,
+                                         steps=num_samples)
     return zs, jnp.mean(alphas), eps, inv_mass
 
 
@@ -233,6 +270,9 @@ def sample_posterior(all_tracks: Dict[str, np.ndarray],
                      input_LocErr=None,
                      max_buckets: int = 4,
                      sharded: bool = False,
+                     dispatch_chunk: int = 256,
+                     fisher_sd: Optional[Dict[str, float]] = None,
+                     init_spread: float = 0.1,
                      verbose: int = 0) -> SampleResult:
     """HMC posterior samples for the model parameters on a track dataset.
 
@@ -244,7 +284,29 @@ def sample_posterior(all_tracks: Dict[str, np.ndarray],
 
     Returns a SampleResult with per-parameter samples in physical space,
     split-chain R-hat and effective sample sizes.
+
+    ``dispatch_chunk`` bounds the HMC iterations per device dispatch
+    (chains are vmapped inside each): the default keeps every dispatch
+    minutes long at most through the remote-TPU tunnel — a monolithic
+    1500-iteration x 4-chain program crashed the TPU worker — at the
+    cost of one tunnel sync per chunk.  Results are bit-identical for
+    any chunking.
+
+    ``fisher_sd`` (name -> standard error in PHYSICAL space, e.g.
+    ``fit(..., compute_errors=True).std_errors``) preconditions the
+    sampler: converted to unconstrained space through the bijection
+    Jacobian at the start point, it seeds the warmup's mass metric and
+    scales the over-dispersed start spread (``init_spread`` posterior
+    sds instead of ``init_spread`` absolute units).  Large datasets make
+    the posterior arbitrarily sharp in z, and identity-mass warmup from
+    fixed-width starts then leaves chains stranded ~100 sds apart
+    (measured on TPU: R-hat 7-15 at 10k tracks without this, ~1.0
+    with).  Entries that are missing, zero (pinned at a bound), or
+    non-finite keep the identity metric for that coordinate.
     """
+    if dispatch_chunk < 1:
+        raise ValueError(
+            f"dispatch_chunk must be >= 1, got {dispatch_chunk}")
     if num_chains < 1:
         raise ValueError(f"num_chains must be >= 1, got {num_chains}")
     if not 0.0 <= jitter < 1.0:
@@ -270,29 +332,113 @@ def sample_posterior(all_tracks: Dict[str, np.ndarray],
 
     vg = jax.value_and_grad(potential)
 
-    # All chains run as ONE vmapped device dispatch (a per-chain Python
-    # loop would pay the ~28 ms tunnel sync per chain and serialize what
-    # the TPU can batch); data is broadcast, starts/keys are mapped.
-    chains = jax.jit(jax.vmap(
-        lambda z0, key, data: _hmc_chain(
-            vg, z0, data, key, num_warmup=num_warmup,
-            num_samples=num_samples, n_leapfrog=n_leapfrog,
-            target_accept=target_accept, init_step=init_step,
-            jitter=jitter),
-        in_axes=(0, 0, None)))
-
     z0 = jnp.asarray(spec.to_unconstrained(),
                      jnp.float64 if jax.config.jax_enable_x64
                      else jnp.float32)
+    dim, dtype = z0.shape[0], z0.dtype
     names = spec.free_names()
+    # Fisher preconditioning: physical std errors -> z-space sds via the
+    # per-coordinate bijection Jacobian at z0 (sd_z = sd_theta/|dtheta/dz|)
+    sd_z = np.ones(dim)
+    if fisher_sd:
+        for i, n in enumerate(names):
+            se = fisher_sd.get(n)
+            if se is None or not np.isfinite(se) or se <= 0:
+                continue
+            p = spec._params[n]
+            g = abs(float(jax.grad(
+                lambda z, p=p: tparams._from_z(z, p.min, p.max))(z0[i])))
+            if g > 0:
+                sd_z[i] = float(np.clip(se / g, 1e-12, 1e6))
+    sd_zj = jnp.asarray(sd_z, dtype)
     keys = jnp.stack([jax.random.PRNGKey(seed + 1000003 * c)
                       for c in range(num_chains)])
-    # over-dispersed starts: jitter the init per chain
+    # over-dispersed starts: jitter the init per chain (in posterior sds
+    # when preconditioned)
     jit_keys, keys = jax.vmap(jax.random.split, out_axes=1)(keys)
-    z_starts = z0 + 0.1 * jax.vmap(
+    z_starts = z0 + init_spread * sd_zj * jax.vmap(
         lambda k: jax.random.normal(k, z0.shape, dtype=z0.dtype))(jit_keys)
-    zs, accs, epss, inv_mass = chains(z_starts, keys, data)
-    inv_mass = jnp.mean(inv_mass, axis=0)
+
+    # All chains run vmapped inside each dispatch (a per-chain Python
+    # loop would pay the ~28 ms tunnel sync per chain and serialize what
+    # the TPU can batch): data broadcast, chain state mapped.  Long runs
+    # are split into <= dispatch_chunk-iteration dispatches — the carry
+    # (chain state + dual-averaging stats) rides across them bit-
+    # identically, and phase boundaries (eps_bar, variance -> mass)
+    # compute host-side from one small fetch.  A monolithic multi-
+    # thousand-iteration program crashed the remote TPU worker (see
+    # _hmc_kernels), and chunking costs one tunnel sync per chunk.
+    warm_chunk, samp_chunk = _hmc_kernels(
+        vg, n_leapfrog=n_leapfrog, target_accept=target_accept,
+        jitter=jitter, dim=dim, dtype=dtype)
+    wjits, sjits = {}, {}
+
+    def run_warm(carry, inv_mass_c, mu_c, collect_from, total):
+        done = 0
+        while done < total:
+            n = min(dispatch_chunk, total - done)
+            f = wjits.get(n)
+            if f is None:
+                f = jax.jit(jax.vmap(
+                    functools.partial(warm_chunk, steps=n),
+                    in_axes=(0, None, 0, 0, None, None)))
+                wjits[n] = f
+            carry = f(carry, data, inv_mass_c, mu_c,
+                      jnp.asarray(collect_from, dtype),
+                      jnp.asarray(done, dtype))
+            done += n
+        return carry
+
+    def warm_phase(z, u, key, inv_mass_c, steps, eps0_c, collect_from):
+        log_eps0 = jnp.log(eps0_c)
+        zs_ = jnp.zeros((num_chains,), dtype)
+        zd = jnp.zeros((num_chains, dim), dtype)
+        carry = (z, u, key, log_eps0, log_eps0, zs_, zd, zd, zs_)
+        mu_c = jnp.log(10.0) + log_eps0
+        carry = run_warm(carry, inv_mass_c, mu_c, collect_from, steps)
+        c = jax.device_get(carry)
+        eps_bar = np.exp(c[4])
+        nn = np.maximum(c[8], 2.0)[:, None]
+        var = np.maximum(c[7] / nn - (c[6] / nn) ** 2, 0.0)
+        return carry[0], carry[1], carry[2], eps_bar, var
+
+    u0 = jax.jit(jax.vmap(lambda z, d: vg(z, d)[0],
+                          in_axes=(0, None)))(z_starts, data)
+    steps_a = max(2 * num_warmup // 3, 1)
+    steps_b = max(num_warmup - steps_a, 1)
+    # (key, ka = split(key); phase A consumes ka, the scans evolve it —
+    # same stream as the pre-chunking monolithic chain)
+    _, ka = jax.vmap(jax.random.split, out_axes=1)(keys)
+    # phase A starts from the Fisher metric (identity when none given):
+    # inv_mass tracks the posterior VARIANCE, so seed it with sd_z^2
+    z, u, keyc, eps_a, var = warm_phase(
+        z_starts, u0, ka,
+        jnp.broadcast_to(sd_zj * sd_zj, (num_chains, dim)), steps_a,
+        jnp.full((num_chains,), init_step, dtype), steps_a // 2)
+    inv_mass_c = jnp.asarray(np.clip(var, 1e-6, 1e6), dtype)
+    z, u, keyc, eps_np, _ = warm_phase(z, u, keyc, inv_mass_c, steps_b,
+                                       jnp.asarray(eps_a, dtype),
+                                       steps_b + 1)
+    epss = jnp.asarray(eps_np, dtype)
+
+    zs_parts, alpha_parts = [], []
+    carry = (z, u, keyc)
+    done = 0
+    while done < num_samples:
+        n = min(dispatch_chunk, num_samples - done)
+        f = sjits.get(n)
+        if f is None:
+            f = jax.jit(jax.vmap(
+                functools.partial(samp_chunk, steps=n),
+                in_axes=(0, None, 0, 0)))
+            sjits[n] = f
+        carry, (zs_c, al_c) = f(carry, data, epss, inv_mass_c)
+        zs_parts.append(np.asarray(zs_c))
+        alpha_parts.append(np.asarray(al_c))
+        done += n
+    zs = np.concatenate(zs_parts, axis=1)      # (chains, samples, dim)
+    accs = np.mean(np.concatenate(alpha_parts, axis=1), axis=1)
+    inv_mass = jnp.mean(inv_mass_c, axis=0)
     if verbose:
         for c in range(num_chains):
             print(f"chain {c}: acceptance {float(accs[c]):.2f}, "

@@ -147,3 +147,47 @@ def test_sample_posterior_matches_fisher():
     fisher_std = res.std_errors.get("D1_minus_D0", std)
     assert fisher_std / 4 < std < 4 * fisher_std
     assert out.rhat["D1_minus_D0"] < 1.3
+
+
+def test_sample_posterior_chunking_invariant():
+    """dispatch_chunk only splits device dispatches: the carried chain
+    state (and RNG stream) makes the samples identical for any chunking
+    — including remainder chunks inside each phase."""
+    from extrack_tpu import simulate
+
+    tracks, _, _ = simulate.sim_fov(
+        nb_tracks=40, max_track_len=5, min_track_len=3, LocErr=0.02,
+        Ds=(0.0, 0.08), TrMat=np.array([[0.9, 0.1], [0.1, 0.9]]),
+        dt=0.02, pBL=0.05, cell_dims=(0.5, None, None), seed=21)
+    kw = dict(nb_states=2, num_samples=11, num_warmup=9, num_chains=2,
+              n_leapfrog=4, window=4, cell_dims=(0.5,), seed=5)
+    a = tsample.sample_posterior(tracks, 0.02, dispatch_chunk=4, **kw)
+    b = tsample.sample_posterior(tracks, 0.02, dispatch_chunk=10_000,
+                                 **kw)
+    assert set(a.samples) == set(b.samples)
+    for k in a.samples:
+        np.testing.assert_allclose(a.samples[k], b.samples[k],
+                                   rtol=1e-9, atol=1e-12)
+    with pytest.raises(ValueError, match="dispatch_chunk"):
+        tsample.sample_posterior({"3": np.zeros((1, 3, 2))}, 0.02,
+                                 dispatch_chunk=0)
+
+
+def test_sample_posterior_fisher_preconditioning():
+    """fisher_sd preconditions the start spread and warmup metric
+    without changing the API contract; zero / missing / non-finite
+    entries keep the identity metric for that coordinate."""
+    from extrack_tpu import simulate
+
+    tracks, _, _ = simulate.sim_fov(
+        nb_tracks=60, max_track_len=5, min_track_len=3, LocErr=0.02,
+        Ds=(0.0, 0.08), TrMat=np.array([[0.9, 0.1], [0.1, 0.9]]),
+        dt=0.02, pBL=0.05, cell_dims=(0.5, None, None), seed=23)
+    sd = {"LocErr": 5e-4, "D1_minus_D0": 2e-3, "D0": 0.0,
+          "p01": float("nan")}      # pinned + bad entries tolerated
+    out = tsample.sample_posterior(
+        tracks, 0.02, nb_states=2, num_samples=16, num_warmup=12,
+        num_chains=2, n_leapfrog=4, window=4, cell_dims=(0.5,), seed=7,
+        fisher_sd=sd)
+    assert all(s.shape == (2, 16) for s in out.samples.values())
+    assert np.isfinite(out.accept_rate)

@@ -66,15 +66,32 @@ def _add_io_args(p):
     p.add_argument("--output", "-o", default=None)
 
 
-def _params_from(args, tracks, input_loc_err):
+def _params_from(args, tracks, input_loc_err, warm_free=False):
+    """Parameters for a subcommand.  ``--params`` loads a fit payload:
+    the predict/hist/refine consumers want those values FIXED
+    (load_params' contract), but fit-like consumers (sample) need FREE
+    parameters warm-started at the loaded values — an all-fixed spec
+    would sample nothing (regression: `sample --params fit.json`
+    silently produced an empty posterior)."""
     from extrack_tpu import params as tparams
     from extrack_tpu.io import exporters
+
+    def default_spec():
+        return tparams.generate_params(
+            nb_states=args.states,
+            LocErr_type=None if input_loc_err is not None else 1,
+            D_max=3.0)
+
     if args.params:
-        return exporters.load_params(args.params)
-    return tparams.generate_params(
-        nb_states=args.states,
-        LocErr_type=None if input_loc_err is not None else 1,
-        D_max=3.0)
+        loaded = exporters.load_params(args.params)
+        if not warm_free:
+            return loaded
+        spec = default_spec()
+        vals = loaded.valuesdict()
+        spec.set_values({k: float(v) for k, v in vals.items()
+                         if k in spec._params})
+        return spec
+    return default_spec()
 
 
 def cmd_fit(args):
@@ -176,9 +193,22 @@ def cmd_refine(args):
 
 def cmd_sample(args):
     """Bayesian posterior sampling (HMC) over the fit likelihood."""
-    from extrack_tpu import sample
+    from extrack_tpu import fit, sample
     tracks, _, input_loc_err = _load(args)
-    spec = _params_from(args, tracks, input_loc_err)
+    spec = _params_from(args, tracks, input_loc_err, warm_free=True)
+    fisher_sd = None
+    if not args.no_precondition:
+        # warm start + Fisher metric: a sharp posterior needs the fit's
+        # errors to precondition warmup (sample.sample_posterior doc)
+        res = fit.param_fitting(
+            tracks, args.dt, params=spec, nb_states=args.states,
+            frame_len=args.window, cell_dims=tuple(args.cell_dims),
+            input_LocErr=input_loc_err, compute_errors=True,
+            sharded=args.sharded, verbose=0)
+        spec, fisher_sd = res.params, res.std_errors
+        if args.verbose:
+            print(f"preconditioning fit: logL={res.logl:.1f} "
+                  f"({res.n_evals} evals)")
     out = sample.sample_posterior(
         tracks, args.dt, spec, nb_states=args.states,
         num_samples=args.samples, num_warmup=args.warmup,
@@ -186,7 +216,9 @@ def cmd_sample(args):
         target_accept=args.target_accept, init_step=args.init_step,
         jitter=args.jitter, window=args.window,
         cell_dims=tuple(args.cell_dims), input_LocErr=input_loc_err,
-        sharded=args.sharded, seed=args.seed, verbose=args.verbose)
+        sharded=args.sharded, seed=args.seed,
+        dispatch_chunk=args.dispatch_chunk, fisher_sd=fisher_sd,
+        verbose=args.verbose)
     print(out.summary())
     bad = [n for n, r in out.rhat.items() if np.isfinite(r) and r > 1.05]
     if bad:
@@ -318,6 +350,14 @@ def main(argv=None):
     p_samp.add_argument("--jitter", type=float, default=0.2,
                         help="uniform per-iteration step-size jitter "
                         "fraction (trajectory-length randomization)")
+    p_samp.add_argument("--dispatch-chunk", type=int, default=256,
+                        help="HMC iterations per device dispatch "
+                        "(bit-identical for any value; bounds single-"
+                        "dispatch wall time on remote TPUs)")
+    p_samp.add_argument("--no-precondition", action="store_true",
+                        help="skip the warm-start fit whose Fisher "
+                        "errors precondition the warmup metric and "
+                        "start spread")
 
     p_warm = sub.add_parser(
         "warmup", help="pre-compile the canonical program shapes "

@@ -127,7 +127,7 @@ def scenario_4state(n, seed=8):
 
 def scenario_5state(n, seed=9):
     """5-state recovery at the scheduled window (fit.default_window(5) = 3,
-    K = 243): the reference tutorial calls a 5-state fit a day-scale job
+    K = 5^3 = 125): the reference tutorial calls a 5-state fit a day-scale job
     and >6 impractical (Tutorial md cell 58, BASELINE.md); here it is one
     more Pallas-path fit.  Diffusion coefficients are kept well-separated
     (geometric ladder) and transitions sparse (nearest-neighbour chain) so

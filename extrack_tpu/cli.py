@@ -262,8 +262,14 @@ def cmd_warmup(args):
         Ds=[0.0] + [0.05 * (i + 1) for i in range(args.states - 1)],
         dt=args.dt, pBL=0.1, cell_dims=(0.5, None, None), seed=0)
     t0 = time.time()
+    # windows must MATCH each subcommand's default or the warmed shapes
+    # miss the cache on real runs (fit/refine: per-state-count schedule;
+    # predict: 5; histogram: 7 — the cmd_* defaults)
+    w_fit = args.window                     # None -> fit's schedule
+    w_pred = args.window if args.window is not None else 5
+    w_hist = args.window if args.window is not None else 7
     res = fit.param_fitting(
-        tracks, args.dt, nb_states=args.states, frame_len=args.window,
+        tracks, args.dt, nb_states=args.states, frame_len=w_fit,
         cell_dims=tuple(args.cell_dims), verbose=0, compute_errors=True,
         max_iter=3)
     print(f"  fit programs: {time.time() - t0:.1f}s")
@@ -271,10 +277,10 @@ def cmd_warmup(args):
     for name, fn in [
         ("predict", lambda: predict.predict_Bs(
             tracks, args.dt, spec, cell_dims=tuple(args.cell_dims),
-            nb_states=args.states, frame_len=args.window)),
+            nb_states=args.states, frame_len=w_pred)),
         ("histogram", lambda: histograms.len_hist(
             tracks, spec, args.dt, cell_dims=tuple(args.cell_dims),
-            nb_states=args.states, window=args.window)),
+            nb_states=args.states, window=w_hist)),
     ]:
         t0 = time.time()
         fn()
@@ -286,7 +292,8 @@ def cmd_warmup(args):
     t0 = time.time()
     refine.position_refinement(
         tracks, float(np.asarray(loc_err).ravel()[0]), ds, np.asarray(Fs),
-        tr, frame_len=min(args.window + 1, 8))
+        tr, frame_len=(None if args.window is None
+                       else min(args.window + 1, 8)))
     print(f"  refine programs: {time.time() - t0:.1f}s")
     print(f"warmup done in {time.time() - t00:.1f}s — analyses at these "
           "settings now start from the persistent cache")
@@ -364,7 +371,11 @@ def main(argv=None):
         "(one-time; later analyses start warm)")
     p_warm.add_argument("--dt", type=float, default=0.02)
     p_warm.add_argument("--states", type=int, default=2)
-    p_warm.add_argument("--window", type=int, default=6)
+    p_warm.add_argument("--window", type=int, default=None,
+                        help="override ALL analyses' windows; default: "
+                        "each analysis' own default (fit/refine per-"
+                        "state schedule, predict 5, histogram 7) so the "
+                        "warmed shapes match what default runs compile")
     p_warm.add_argument("--min-len", type=int, default=5)
     p_warm.add_argument("--max-len", type=int, default=40)
     p_warm.add_argument("--n-tracks", type=int, default=3000)

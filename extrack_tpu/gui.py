@@ -175,9 +175,14 @@ def seeded_options(analysis: str, s: Session) -> dict:
     elif analysis == "Position Refinement":
         # per-state-count schedule (refine.default_window): the static
         # 2-state default 7 would push 3+-state registers out of the
-        # kernel's VMEM budget into the slow fallback regime
+        # kernel's VMEM budget into the slow fallback regime.  Resolve
+        # at the session's REAL track length (loaded tracks, else the
+        # loader's max-len filter), not a fixed planning T — a window
+        # planned at T=16 can overflow VMEM on longer tracks
         from extrack_tpu import refine
-        o["frame_len"] = refine.default_window(s.nb_states)
+        T = (max(int(k) for k in s.tracks) if s.tracks
+             else int(s.max_len))
+        o["frame_len"] = refine.default_window(s.nb_states, T=T)
     return o
 
 

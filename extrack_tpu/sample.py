@@ -139,9 +139,19 @@ def _hmc_kernels(vg, *, n_leapfrog, target_accept, jitter, dim, dtype):
         u = jnp.where(accept, u_new, u)
         return z, u, jnp.exp(log_acc)
 
-    def warm_chunk(carry, data, inv_mass, mu, collect_from, start, *,
-                   steps):
-        """``steps`` warmup iterations from phase-local index ``start``;
+    def masked(active, new, old):
+        # iterations at i >= n_active are pure no-ops (carry unchanged,
+        # key NOT consumed), so every chunk can run the SAME static
+        # ``steps`` — one compiled program shape per phase type instead
+        # of a fresh 100-300 s remote compile per remainder size — while
+        # staying bit-identical to the unmasked monolithic chain
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(active, a, b), new, old)
+
+    def warm_chunk(carry, data, inv_mass, mu, collect_from, n_active,
+                   start, *, steps):
+        """``steps`` warmup iterations from phase-local index ``start``
+        (those at i >= n_active are masked no-ops);
         carry = (z, u, key, log_eps, log_eps_bar, h_bar, s1, s2, n)."""
         def body(c, i):
             z, u, key, log_eps, log_eps_bar, h_bar, s1, s2, n = c
@@ -155,21 +165,26 @@ def _hmc_kernels(vg, *, n_leapfrog, target_accept, jitter, dim, dtype):
             w = t ** -0.75
             log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
             in_win = (i >= collect_from).astype(dtype)
-            return (z, u, key, log_eps, log_eps_bar, h_bar,
-                    s1 + in_win * z, s2 + in_win * z * z, n + in_win), None
+            new = (z, u, key, log_eps, log_eps_bar, h_bar,
+                   s1 + in_win * z, s2 + in_win * z * z, n + in_win)
+            return masked(i < n_active, new, c), None
 
         return jax.lax.scan(body, carry,
                             jnp.arange(steps, dtype=dtype) + start)[0]
 
-    def samp_chunk(carry, data, eps, inv_mass, *, steps):
-        """``steps`` sampling iterations; carry = (z, u, key)."""
-        def body(c, _):
+    def samp_chunk(carry, data, eps, inv_mass, n_active, start, *, steps):
+        """``steps`` sampling iterations (masked past n_active; the
+        masked rows of the emitted samples are discarded host-side);
+        carry = (z, u, key)."""
+        def body(c, i):
             z, u, key = c
             key, sub = jax.random.split(key)
             z, u, alpha = hmc_step(z, u, sub, eps, inv_mass, data)
-            return (z, u, key), (z, alpha)
+            new = masked(i < n_active, (z, u, key), c)
+            return new, (new[0], alpha)
 
-        return jax.lax.scan(body, carry, None, length=steps)
+        return jax.lax.scan(body, carry,
+                            jnp.arange(steps, dtype=dtype) + start)
 
     return warm_chunk, samp_chunk
 
@@ -192,6 +207,7 @@ def _hmc_chain(vg, z0, data, key, *, num_warmup, num_samples, n_leapfrog,
         carry = warm_chunk(carry, data, inv_mass,
                            jnp.log(10.0) + log_eps0,
                            jnp.asarray(collect_from, dtype),
+                           jnp.asarray(steps, dtype),
                            jnp.zeros((), dtype), steps=steps)
         eps_bar = jnp.exp(carry[4])
         n = jnp.maximum(carry[8], 2.0)
@@ -208,8 +224,10 @@ def _hmc_chain(vg, z0, data, key, *, num_warmup, num_samples, n_leapfrog,
     inv_mass = jnp.clip(var, 1e-6, 1e6)
     z, u, key, eps, _ = phase(z, u, key, inv_mass, steps_b, eps_a,
                               steps_b + 1)
-    (z, u, _), (zs, alphas) = samp_chunk((z, u, key), data, eps, inv_mass,
-                                         steps=num_samples)
+    (z, u, _), (zs, alphas) = samp_chunk(
+        (z, u, key), data, eps, inv_mass,
+        jnp.asarray(num_samples, dtype), jnp.zeros((), dtype),
+        steps=num_samples)
     return zs, jnp.mean(alphas), eps, inv_mass
 
 
@@ -338,17 +356,30 @@ def sample_posterior(all_tracks: Dict[str, np.ndarray],
     dim, dtype = z0.shape[0], z0.dtype
     names = spec.free_names()
     # Fisher preconditioning: physical std errors -> z-space sds via the
-    # per-coordinate bijection Jacobian at z0 (sd_z = sd_theta/|dtheta/dz|)
+    # per-coordinate bijection Jacobian at z0 (sd_z = sd_theta/|dtheta/dz|),
+    # computed HOST-SIDE in closed form (the same cases as
+    # params._logdet_from_z) — a per-parameter eager jax.grad here would
+    # cost one un-jitted device dispatch each through the TPU tunnel
     sd_z = np.ones(dim)
     if fisher_sd:
+        z0_np = np.asarray(z0, np.float64)
         for i, n in enumerate(names):
             se = fisher_sd.get(n)
             if se is None or not np.isfinite(se) or se <= 0:
                 continue
             p = spec._params[n]
-            g = abs(float(jax.grad(
-                lambda z, p=p: tparams._from_z(z, p.min, p.max))(z0[i])))
-            if g > 0:
+            lo, hi, zi = p.min, p.max, z0_np[i]
+            if np.isinf(lo) and np.isinf(hi):
+                g = 1.0
+            elif np.isinf(hi):
+                g = np.exp(zi)
+            elif np.isinf(lo):
+                g = np.exp(-zi)
+            else:
+                sig = np.clip(1.0 / (1.0 + np.exp(-zi)),
+                              1e-14, 1.0 - 1e-14)
+                g = (hi - lo) * sig * (1.0 - sig)
+            if np.isfinite(g) and g > 0:
                 sd_z[i] = float(np.clip(se / g, 1e-12, 1e6))
     sd_zj = jnp.asarray(sd_z, dtype)
     keys = jnp.stack([jax.random.PRNGKey(seed + 1000003 * c)
@@ -374,19 +405,23 @@ def sample_posterior(all_tracks: Dict[str, np.ndarray],
     wjits, sjits = {}, {}
 
     def run_warm(carry, inv_mass_c, mu_c, collect_from, total):
+        # fixed chunk shape per phase (min(chunk, total)); the final
+        # partial chunk runs the SAME program with its tail masked, so
+        # remainders never cost a fresh remote compile
+        steps = min(dispatch_chunk, total)
+        f = wjits.get(steps)
+        if f is None:
+            f = jax.jit(jax.vmap(
+                functools.partial(warm_chunk, steps=steps),
+                in_axes=(0, None, 0, 0, None, None, None)))
+            wjits[steps] = f
         done = 0
         while done < total:
-            n = min(dispatch_chunk, total - done)
-            f = wjits.get(n)
-            if f is None:
-                f = jax.jit(jax.vmap(
-                    functools.partial(warm_chunk, steps=n),
-                    in_axes=(0, None, 0, 0, None, None)))
-                wjits[n] = f
             carry = f(carry, data, inv_mass_c, mu_c,
                       jnp.asarray(collect_from, dtype),
+                      jnp.asarray(total, dtype),
                       jnp.asarray(done, dtype))
-            done += n
+            done += steps
         return carry
 
     def warm_phase(z, u, key, inv_mass_c, steps, eps0_c, collect_from):
@@ -423,19 +458,22 @@ def sample_posterior(all_tracks: Dict[str, np.ndarray],
 
     zs_parts, alpha_parts = [], []
     carry = (z, u, keyc)
+    steps = min(dispatch_chunk, num_samples)
+    f = sjits.get(steps)
+    if f is None:
+        f = jax.jit(jax.vmap(
+            functools.partial(samp_chunk, steps=steps),
+            in_axes=(0, None, 0, 0, None, None)))
+        sjits[steps] = f
     done = 0
     while done < num_samples:
-        n = min(dispatch_chunk, num_samples - done)
-        f = sjits.get(n)
-        if f is None:
-            f = jax.jit(jax.vmap(
-                functools.partial(samp_chunk, steps=n),
-                in_axes=(0, None, 0, 0)))
-            sjits[n] = f
-        carry, (zs_c, al_c) = f(carry, data, epss, inv_mass_c)
-        zs_parts.append(np.asarray(zs_c))
-        alpha_parts.append(np.asarray(al_c))
-        done += n
+        carry, (zs_c, al_c) = f(carry, data, epss, inv_mass_c,
+                                jnp.asarray(num_samples, dtype),
+                                jnp.asarray(done, dtype))
+        real = min(steps, num_samples - done)   # drop masked tail rows
+        zs_parts.append(np.asarray(zs_c)[:, :real])
+        alpha_parts.append(np.asarray(al_c)[:, :real])
+        done += steps
     zs = np.concatenate(zs_parts, axis=1)      # (chains, samples, dim)
     accs = np.mean(np.concatenate(alpha_parts, axis=1), axis=1)
     inv_mass = jnp.mean(inv_mass_c, axis=0)

@@ -212,3 +212,23 @@ def test_fuzz_kernels_random_configs():
                                                    min_len=2))
         np.testing.assert_allclose(h, href, rtol=2e-4, atol=2e-4,
                                    err_msg="hist " + msg)
+
+
+def test_pallas_legacy_ominor_layout():
+    """window < 2*nb_substeps (A does not divide G) keeps the legacy
+    o-minor register layout in the forward kernel — every other config
+    now takes the o-major path, so this is the only coverage the legacy
+    branches get; the gradient kernel refuses the config (XLA fallback)."""
+    from extrack_tpu.ops import pallas_grad
+    S, n, W = 2, 3, 4                        # A=8, G=2: G % A != 0
+    xs, lengths, isbl, tb = _setup(77, S=S, n=n)
+    ref = engine.forward(jnp.asarray(xs), jnp.asarray(lengths),
+                         jnp.asarray(isbl, jnp.float32), tb,
+                         window=W, nb_substeps=n, min_len=3)
+    out = pallas_engine.forward_pallas(
+        jnp.asarray(xs), jnp.asarray(lengths),
+        jnp.asarray(isbl, jnp.float32), tb, window=W, nb_substeps=n,
+        min_len=3, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    assert not pallas_grad.supports(9, 2, S, W, nb_substeps=n)

@@ -5,17 +5,24 @@ every frame; this kernel keeps the whole sequence register resident in VMEM
 for all T frames and streams only the positions, making the hot path
 compute-bound (HBM traffic = inputs + one scalar per track).
 
-Register encoding (same as core.engine: newest sub-state in the highest slot
-digit, oldest in the lowest).  Consequences on TPU:
+Register encoding: core.engine's slot semantics (newest sub-state in the
+highest slot digit, oldest in the lowest) STORED o-major — slot k at
+sublane row (k % A) * G + k // A (``storage_order``).  Consequences on
+TPU:
 
-  * branching in the new sub-states = ``pltpu.repeat`` (tile) of the fused
-    (G, BLK) block A = S^n times — children of slot g are rows a*G+g, and
-    they differ only by additive per-slot constant vectors,
-  * fusing the oldest n sub-states = reduce over the middle axis of a
-    (G, A, BLK) sublane reshape (groups are A consecutive rows),
-  * every per-slot model quantity (transition chain, survival, displacement
-    variance, end term, init prior) becomes a constant (K, 1) column vector
-    gathered once on the host.
+  * fusing the oldest n sub-states = elementwise combination of the A
+    contiguous (G, BLK) block slices (a fusion group's members share a
+    row across blocks) — no strided sublane gathers,
+  * branching into new sub-states = per-block stride-A subsample +
+    ``pltpu.repeat`` + concat (children differ only by additive
+    per-slot constant vectors),
+  * every per-slot model quantity (transition chain, survival,
+    displacement variance, end term, init prior) becomes a constant
+    (K, 1) column vector gathered once on the host, permuted into
+    storage order by the wrapper.
+
+Configs with window < 2*nb_substeps (A does not divide G) keep the
+legacy o-minor layout (mid-axis reshape gathers + plain repeat tiles).
 
 Tracks ride the 128-wide lanes (BLK per grid step); the register rides the
 sublanes.  Semantics match core.engine.forward exactly (same math, different
